@@ -1,0 +1,122 @@
+"""Conditional flow matching: training objective and ODE samplers.
+
+TPU-native reimplementation of the reference CFM
+(`/root/reference/matcha/models/components/flow_matching.py`):
+
+  * training loss (`flow_matching.py:106-151`): t ~ U[0,1] per sample,
+    phi_t = (1 - (1 - sigma_min) t) z + t x1, target u = x1 - (1 - sigma_min) z,
+    masked MSE normalized by sum(mask) * n_feats;
+  * inference (`flow_matching.py:42-104`): z ~ N(0,1) * temperature, then a fixed-step
+    ODE solve — here a jitted `lax.scan` over timesteps instead of a Python loop.
+
+Solver registry: 'euler' (reference parity) and 'midpoint' (2nd order, same cost per
+step x2 — often better mel quality per NFE).
+
+Conscious deviation (documented): the reference sums the squared error over ALL padded
+entries while the estimator output is masked to zero, so padding contributes a
+data-independent noise floor ||u_target||^2 with zero gradient
+(`flow_matching.py:148-149`). We apply the mask inside the sum — identical gradients,
+cleaner loss values. Set `include_padding_noise=True` for bit-parity of the reported
+value.
+"""
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+SIGMA_MIN = 1e-4
+
+
+def cfm_loss(
+    estimator: Callable,
+    rng: jax.Array,
+    x1: jnp.ndarray,
+    mask: jnp.ndarray,
+    mu: jnp.ndarray,
+    sigma_min: float = SIGMA_MIN,
+    include_padding_noise: bool = False,
+):
+    """Conditional flow-matching loss.
+
+    Args:
+        estimator: callable (x, mask, mu, t) -> velocity, all (B, T, C)/(B, T, 1)/(B,).
+        rng: PRNG key (split internally for t and z).
+        x1: (B, T, C) target mel.
+        mask: (B, T, 1) 0/1 mask.
+        mu: (B, T, C) aligned encoder output.
+    Returns:
+        (loss scalar, phi_t)
+    """
+    rng_t, rng_z = jax.random.split(rng)
+    b = x1.shape[0]
+    t = jax.random.uniform(rng_t, (b, 1, 1), dtype=x1.dtype)
+    z = jax.random.normal(rng_z, x1.shape, dtype=x1.dtype)
+
+    phi_t = (1 - (1 - sigma_min) * t) * z + t * x1
+    u_target = x1 - (1 - sigma_min) * z
+
+    u_pred = estimator(phi_t, mask, mu, t[:, 0, 0])
+
+    sq = (u_pred - u_target) ** 2
+    if not include_padding_noise:
+        sq = sq * mask
+    loss = jnp.sum(sq) / (jnp.sum(mask) * x1.shape[-1])
+    return loss, phi_t
+
+
+def solve_euler(estimator: Callable, x, mask, mu, n_timesteps: int):
+    """Fixed-step Euler integration of dx/dt = v(x, t | mu) as a lax.scan.
+
+    Reference semantics (`flow_matching.py:67-104`): t-span = linspace(0, 1, n+1),
+    n estimator evaluations.
+    """
+    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1, dtype=x.dtype)
+    dts = jnp.diff(t_span)
+
+    def step(carry, t_dt):
+        t, dt = t_dt
+        x = carry
+        v = estimator(x, mask, mu, jnp.full((x.shape[0],), t, x.dtype))
+        return x + dt * v, None
+
+    x, _ = lax.scan(step, x, (t_span[:-1], dts))
+    return x
+
+
+def solve_midpoint(estimator: Callable, x, mask, mu, n_timesteps: int):
+    """Explicit midpoint (RK2) integration — 2 estimator calls per step."""
+    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1, dtype=x.dtype)
+    dts = jnp.diff(t_span)
+
+    def step(carry, t_dt):
+        t, dt = t_dt
+        x = carry
+        bcast = lambda s: jnp.full((x.shape[0],), s, x.dtype)
+        v1 = estimator(x, mask, mu, bcast(t))
+        v2 = estimator(x + 0.5 * dt * v1, mask, mu, bcast(t + 0.5 * dt))
+        return x + dt * v2, None
+
+    x, _ = lax.scan(step, x, (t_span[:-1], dts))
+    return x
+
+
+SOLVERS = {
+    "euler": solve_euler,
+    "midpoint": solve_midpoint,
+}
+
+
+def sample_cfm(
+    estimator: Callable,
+    rng: jax.Array,
+    mu: jnp.ndarray,
+    mask: jnp.ndarray,
+    n_timesteps: int,
+    temperature: float = 1.0,
+    solver: str = "euler",
+):
+    """Generate a mel from noise given the aligned condition (`flow_matching.py:43-65`)."""
+    z = jax.random.normal(rng, mu.shape, dtype=mu.dtype) * temperature
+    return SOLVERS[solver](estimator, z, mask, mu, n_timesteps)

@@ -1,0 +1,46 @@
+"""Hot ops: monotonic alignment search (Pallas/JAX/C++), masks, alignment paths."""
+
+import jax
+
+from matcha_tpu.ops.masks import (
+    denormalize,
+    duration_loss,
+    fix_len_compatibility,
+    generate_path,
+    normalize,
+    sequence_mask,
+)
+from matcha_tpu.ops.mas_pallas import maximum_path_pallas
+from matcha_tpu.ops.mas_ref import maximum_path_ref
+
+__all__ = [
+    "maximum_path",
+    "maximum_path_pallas",
+    "maximum_path_ref",
+    "sequence_mask",
+    "generate_path",
+    "fix_len_compatibility",
+    "duration_loss",
+    "normalize",
+    "denormalize",
+]
+
+
+def maximum_path(value, mask, impl: str = "auto"):
+    """Batch monotonic alignment search.
+
+    impl: 'auto' (Pallas on TPU, scan elsewhere), 'pallas', 'ref', or 'cpp'.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "ref"
+    if impl == "pallas":
+        return maximum_path_pallas(value, mask)
+    if impl == "ref":
+        return maximum_path_ref(value, mask)
+    if impl == "cpp":
+        import numpy as np
+
+        from matcha_tpu.ops.mas_cpp import maximum_path_cpp
+
+        return maximum_path_cpp(np.asarray(value), np.asarray(mask))
+    raise ValueError(f"unknown MAS impl: {impl}")

@@ -1,0 +1,57 @@
+"""Training CLI.
+
+Counterpart of `/root/reference/train.py`: auto-resume from the newest checkpoint,
+`--no-resume` escape hatch, LJSpeech data module, reference default hyperparameters.
+
+Usage:
+    python -m matcha_tpu.cli.train [--data-dir data/LJSpeech-1.1] [--ckpt-dir checkpoints]
+        [--batch-size 16] [--max-epochs 1000] [--no-resume] [--synthetic]
+"""
+
+import argparse
+from pathlib import Path
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Train Matcha-TTS (TPU-native)")
+    ap.add_argument("--data-dir", default="data/LJSpeech-1.1")
+    ap.add_argument("--ckpt-dir", default="checkpoints")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--max-epochs", type=int, default=1000)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="train on the synthetic dataset (smoke runs, no LJSpeech needed)")
+    ap.add_argument("--mas-impl", default="auto", choices=["auto", "pallas", "ref"])
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    args = ap.parse_args()
+
+    from matcha_tpu.data.dataset import DataConfig, SyntheticDataset, TextMelDataset
+    from matcha_tpu.data.ljspeech import process_csv
+    from matcha_tpu.parallel import init_distributed, make_mesh
+    from matcha_tpu.train.trainer import TrainConfig, Trainer
+
+    init_distributed()
+
+    if args.synthetic:
+        train_ds = SyntheticDataset(n_items=256, seed=0)
+        val_ds = SyntheticDataset(n_items=32, seed=1)
+    else:
+        data_dir = Path(args.data_dir)
+        train_txt, val_txt = data_dir / "train.txt", data_dir / "val.txt"
+        if not train_txt.exists() or not val_txt.exists():
+            print("generating train/val split from metadata.csv ...")
+            process_csv(data_dir, output_dir=data_dir)
+        train_ds = TextMelDataset(train_txt)
+        val_ds = TextMelDataset(val_txt)
+
+    trainer = Trainer(
+        train_cfg=TrainConfig(ckpt_dir=args.ckpt_dir, max_epochs=args.max_epochs,
+                              mas_impl=args.mas_impl),
+        data_cfg=DataConfig(batch_size=args.batch_size),
+        mesh=make_mesh(model=args.tp),
+    )
+    trainer.fit(train_ds, val_ds, max_epochs=args.max_epochs, resume=not args.no_resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""Text+mel training data pipeline (numpy host side, static-shape batches).
+
+TPU-native replacement for the reference Dataset/DataModule
+(`/root/reference/matcha/data_management/`): the reference tokenizes and re-computes
+every mel on the fly per epoch in the DataLoader process (`ljspeechDataset.py:21-36`,
+with `num_workers` forced to 0). Here:
+
+  * mels are computed once with the jitted JAX pipeline and cached to disk (.npy);
+  * batches are BUCKETED BY LENGTH and padded to static (Tx, Ty) shapes — Ty a multiple
+    of 2**decoder-downsamples — so XLA compiles a handful of shapes instead of one per
+    batch;
+  * per-host sharding for data-parallel training slices the example list by
+    `process_index` before batching.
+
+Tokenization matches the reference training path exactly: `english_cleaners` then
+char->id, no EOS (`ljspeechDataset.py:25-26`).
+
+A `SyntheticDataset` with the same interface provides deterministic speech-shaped data
+for tests and benchmarks when LJSpeech is not on disk.
+"""
+
+import hashlib
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from matcha_tpu.audio.mel import MelConfig, load_wav, num_frames
+from matcha_tpu.ops.masks import fix_len_compatibility
+from matcha_tpu.text import train_text_to_sequence
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    batch_size: int = 16
+    text_pad_multiple: int = 32
+    mel_pad_multiple: int = 64  # multiple of 4 (U-Net) and VPU-friendly
+    max_text_len: int = 256
+    max_mel_len: int = 1024
+    shuffle_seed: int = 0
+
+
+class TextMelDataset:
+    """metadata file of `wav_path|text` lines -> tokenized text + cached log-mel."""
+
+    def __init__(self, metadata_path, mel_cfg: MelConfig = MelConfig(), cache_dir=None):
+        self.mel_cfg = mel_cfg
+        self.items: List[Tuple[str, str]] = []
+        with open(metadata_path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split("|")
+                if len(parts) >= 2:
+                    self.items.append((parts[0], parts[1]))
+        if cache_dir is None:
+            cache_dir = Path(metadata_path).parent / "mel_cache"
+        self.cache_dir = Path(cache_dir)
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+        self._mel_fn = None
+
+    def __len__(self):
+        return len(self.items)
+
+    def _cache_path(self, wav_path: str) -> Path:
+        key = hashlib.sha1(wav_path.encode()).hexdigest()[:16]
+        return self.cache_dir / f"{Path(wav_path).stem}_{key}.npy"
+
+    def _compute_mel(self, wav_path: str) -> np.ndarray:
+        if self._mel_fn is None:
+            from matcha_tpu.audio.mel import mel_spectrogram
+
+            self._mel_fn = mel_spectrogram
+        y, _ = load_wav(wav_path)
+        mel = np.asarray(self._mel_fn(self.mel_cfg, y[None, :]))[0]  # (n_mels, T)
+        return mel.T.astype(np.float32)  # (T, n_mels) feature-last
+
+    def get(self, idx: int) -> dict:
+        wav_path, text = self.items[idx]
+        cache = self._cache_path(wav_path)
+        if cache.exists():
+            mel = np.load(cache)
+        else:
+            mel = self._compute_mel(wav_path)
+            np.save(cache, mel)
+        ids = np.asarray(train_text_to_sequence(text), dtype=np.int32)
+        return {"x": ids, "y": mel}
+
+    def mel_length(self, idx: int) -> int:
+        """Mel frame count without decoding audio (from the 16-bit PCM payload size)."""
+        cache = self._cache_path(self.items[idx][0])
+        if cache.exists():
+            return int(np.load(cache, mmap_mode="r").shape[0])
+        size = os.path.getsize(self.items[idx][0])
+        samples = max((size - 44) // 2, 1)
+        return num_frames(self.mel_cfg, samples)
+
+
+class SyntheticDataset:
+    """Deterministic speech-shaped data with the TextMelDataset interface."""
+
+    _SENTENCES = [
+        "the quick brown fox jumps over the lazy dog",
+        "hello world this is a synthetic matcha sample",
+        "flow matching makes text to speech fast",
+        "tensor processing units chew through matmuls",
+        "monotonic alignment search runs on chip now",
+    ]
+
+    def __init__(self, n_items: int = 64, mel_cfg: MelConfig = MelConfig(), seed: int = 0,
+                 min_frames: int = 80, max_frames: int = 400):
+        self.mel_cfg = mel_cfg
+        self.n_items = n_items
+        self.seed = seed
+        self.min_frames = min_frames
+        self.max_frames = max_frames
+
+    def __len__(self):
+        return self.n_items
+
+    def mel_length(self, idx: int) -> int:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        return int(rng.integers(self.min_frames, self.max_frames + 1))
+
+    def get(self, idx: int) -> dict:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        t = int(rng.integers(self.min_frames, self.max_frames + 1))
+        text = self._SENTENCES[idx % len(self._SENTENCES)]
+        ids = np.asarray(train_text_to_sequence(text), dtype=np.int32)
+        # smooth low-rank "mel": random walk over time x fixed spectral envelopes
+        k = 6
+        env = rng.standard_normal((k, self.mel_cfg.n_mels)).astype(np.float32)
+        coef = np.cumsum(0.3 * rng.standard_normal((t, k)).astype(np.float32), axis=0)
+        mel = np.tanh(coef @ env) * 2.0 - 5.0
+        return {"x": ids, "y": mel.astype(np.float32)}
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def collate(items: List[dict], cfg: DataConfig) -> dict:
+    """Pad a list of examples to static bucketed shapes."""
+    xs = [it["x"][: cfg.max_text_len] for it in items]
+    ys = [it["y"][: cfg.max_mel_len] for it in items]
+    tx = min(_round_up(max(len(x) for x in xs), cfg.text_pad_multiple), cfg.max_text_len)
+    ty_raw = min(_round_up(max(y.shape[0] for y in ys), cfg.mel_pad_multiple), cfg.max_mel_len)
+    ty = fix_len_compatibility(ty_raw)
+    n_mels = ys[0].shape[1]
+
+    b = len(items)
+    x = np.zeros((b, tx), np.int32)
+    y = np.zeros((b, ty, n_mels), np.float32)
+    xl = np.zeros((b,), np.int32)
+    yl = np.zeros((b,), np.int32)
+    for i, (xi, yi) in enumerate(zip(xs, ys)):
+        lx, ly = min(len(xi), tx), min(yi.shape[0], ty)
+        x[i, :lx] = xi[:lx]
+        y[i, :ly] = yi[:ly]
+        xl[i] = lx
+        yl[i] = ly
+    return {"x": x, "x_lengths": xl, "y": y, "y_lengths": yl}
+
+
+def batch_iterator(
+    dataset,
+    cfg: DataConfig,
+    epoch: int = 0,
+    shuffle: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
+    drop_last: bool = True,
+) -> Iterator[dict]:
+    """Length-bucketed batches padded to static shapes; per-host sharded.
+
+    Examples are shuffled, sorted into length-similar pools of batch_size so each batch
+    pads to a tight bucket (bounded padded-FLOP waste), then batch order is shuffled.
+    """
+    n = len(dataset)
+    rng = np.random.default_rng(cfg.shuffle_seed * 1_000_003 + epoch)
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    order = order[process_index::process_count]
+
+    # sort by cached/estimated mel length within a window to build tight buckets
+    lengths = np.array([dataset.mel_length(i) for i in order])
+    window = cfg.batch_size * 16
+    buckets = []
+    for start in range(0, len(order), window):
+        chunk = order[start : start + window]
+        lens = lengths[start : start + window]
+        chunk = chunk[np.argsort(lens, kind="stable")]
+        for bstart in range(0, len(chunk), cfg.batch_size):
+            batch_idx = chunk[bstart : bstart + cfg.batch_size]
+            if drop_last and len(batch_idx) < cfg.batch_size:
+                continue
+            buckets.append(batch_idx)
+    if shuffle:
+        rng.shuffle(buckets)
+    for batch_idx in buckets:
+        yield collate([dataset.get(int(i)) for i in batch_idx], cfg)

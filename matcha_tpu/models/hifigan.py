@@ -1,0 +1,291 @@
+"""HiFi-GAN v1 vocoder (flax.linen, feature-last layout).
+
+TPU-native reimplementation of the reference vocoder package
+(`/root/reference/hifi_gan/models.py`): the Generator (conv k7 pre -> 4x [leaky-relu,
+ConvTranspose upsample, multi-receptive-field fusion of 3 ResBlocks] -> leaky-relu ->
+conv k7 post -> tanh) plus the MultiPeriod/MultiScale discriminators and GAN losses used
+for vocoder training.
+
+The generator is inference-normalized (weight norm folded into the kernels, matching the
+reference's `remove_weight_norm()` deployment path, `models.py:118-125`); training-time
+weight normalization is provided via the `weight_norm` flag.
+
+Every conv maps to `lax.conv_general_dilated` / `lax.conv_transpose` on the MXU; the MRF
+residual stacks are pure elementwise+conv chains that XLA fuses.
+"""
+
+from dataclasses import dataclass, field
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+LRELU_SLOPE = 0.1
+
+
+@dataclass(frozen=True)
+class HiFiGANConfig:
+    """Generator v1 hyperparameters (`/root/reference/checkpts/config.json`)."""
+
+    resblock: str = "1"
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 80
+    sampling_rate: int = 22050
+
+
+def _get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, LRELU_SLOPE)
+
+
+def _norm_init():
+    # Reference init_weights: normal(0, 0.01) (`hifi_gan/utils.py:23-26`)
+    return nn.initializers.normal(stddev=0.01)
+
+
+class WNConv(nn.Module):
+    """Conv1d with optional weight normalization (training parity)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        pad = _get_padding(self.kernel_size, self.dilation)
+        conv = nn.Conv(
+            self.features,
+            (self.kernel_size,),
+            strides=(self.stride,),
+            padding=[(pad, pad)],
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            kernel_init=_norm_init(),
+        )
+        if not self.weight_norm:
+            return conv(x)
+        return nn.WeightNorm(conv)(x)
+
+
+class ResBlock1(nn.Module):
+    """Dilated residual MRF block (`models.py:11-48`)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3, 5)
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            xt = _lrelu(x)
+            xt = WNConv(self.channels, self.kernel_size, dilation=d, weight_norm=self.weight_norm)(xt)
+            xt = _lrelu(xt)
+            xt = WNConv(self.channels, self.kernel_size, dilation=1, weight_norm=self.weight_norm)(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock2(nn.Module):
+    """Two-conv residual block variant (`models.py:51-73`)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3)
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            xt = _lrelu(x)
+            xt = WNConv(self.channels, self.kernel_size, dilation=d, weight_norm=self.weight_norm)(xt)
+            x = xt + x
+        return x
+
+
+class Generator(nn.Module):
+    """mel (B, T, 80) -> waveform (B, T * prod(upsample_rates)) (`models.py:75-116`)."""
+
+    cfg: HiFiGANConfig = HiFiGANConfig()
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, mel):
+        cfg = self.cfg
+        num_kernels = len(cfg.resblock_kernel_sizes)
+        res_cls = ResBlock1 if cfg.resblock == "1" else ResBlock2
+
+        x = nn.Conv(
+            cfg.upsample_initial_channel, (7,), padding=[(3, 3)], kernel_init=_norm_init(),
+            name="conv_pre",
+        )(mel)
+
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = _lrelu(x)
+            # torch ConvTranspose1d(k, stride=u, padding=(k-u)//2) -> output u*T.
+            # flax pads the stride-dilated input directly, so torch padding p maps to
+            # flax padding k-1-p on both sides.
+            p = k - 1 - (k - u) // 2
+            x = nn.ConvTranspose(
+                ch, (k,), strides=(u,), padding=[(p, p)], transpose_kernel=True,
+                kernel_init=_norm_init(), name=f"up_{i}",
+            )(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                y = res_cls(ch, rk, tuple(rd), self.weight_norm, name=f"res_{i}_{j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / num_kernels
+
+        x = _lrelu(x)
+        x = nn.Conv(1, (7,), padding=[(3, 3)], kernel_init=_norm_init(), name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]
+
+
+# --------------------------------------------------------------------------- #
+# Discriminators (vocoder training; inference-unused in the reference as well)
+# --------------------------------------------------------------------------- #
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator (`models.py:128-166`): fold waveform into (T/p, p) 2-D map."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T)
+        b, t = x.shape
+        p = self.period
+        n_pad = (p - t % p) % p
+        if n_pad:
+            x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // p, p, 1)  # (B, H, W, C) feature-last
+
+        fmap = []
+        pad = _get_padding(5, 1)
+        for ch in (32, 128, 512, 1024):
+            x = nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
+                        padding=[(pad, pad), (0, 0)], kernel_init=_norm_init())(x)
+            x = _lrelu(x)
+            fmap.append(x)
+        x = nn.Conv(1024, (self.kernel_size, 1), padding=[(2, 2), (0, 0)],
+                    kernel_init=_norm_init())(x)
+        x = _lrelu(x)
+        fmap.append(x)
+        x = nn.Conv(1, (3, 1), padding=[(1, 1), (0, 0)], kernel_init=_norm_init())(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator (`models.py:191-216`): grouped 1-D conv stack."""
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T) -> (B, T, 1)
+        b = x.shape[0]
+        x = x[:, :, None]
+        fmap = []
+        specs = [
+            (128, 15, 1, 1, 7), (128, 41, 2, 4, 20), (256, 41, 2, 16, 20),
+            (512, 41, 4, 16, 20), (1024, 41, 4, 16, 20), (1024, 41, 1, 16, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        for ch, k, s, g, pad in specs:
+            x = nn.Conv(ch, (k,), strides=(s,), padding=[(pad, pad)],
+                        feature_group_count=g, kernel_init=_norm_init())(x)
+            x = _lrelu(x)
+            fmap.append(x)
+        x = nn.Conv(1, (3,), padding=[(1, 1)], kernel_init=_norm_init())(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """Periods 2,3,5,7,11 (`models.py:169-188`)."""
+
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
+        for p in self.periods:
+            d = DiscriminatorP(p, name=f"p{p}")
+            o_r, f_r = d(y)
+            o_g, f_g = d(y_hat)
+            outs_r.append(o_r)
+            outs_g.append(o_g)
+            fmaps_r.append(f_r)
+            fmaps_g.append(f_g)
+        return outs_r, outs_g, fmaps_r, fmaps_g
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """Three scales with avg-pool downsampling (`models.py:219-248`)."""
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
+        for i in range(3):
+            if i != 0:
+                y = nn.avg_pool(y[:, :, None], (4,), strides=(2,), padding=[(2, 2)])[:, :, 0]
+                y_hat = nn.avg_pool(y_hat[:, :, None], (4,), strides=(2,), padding=[(2, 2)])[:, :, 0]
+            d = DiscriminatorS(name=f"s{i}")
+            o_r, f_r = d(y)
+            o_g, f_g = d(y_hat)
+            outs_r.append(o_r)
+            outs_g.append(o_g)
+            fmaps_r.append(f_r)
+            fmaps_g.append(f_g)
+        return outs_r, outs_g, fmaps_r, fmaps_g
+
+
+# ------------------------------------------------------------------ GAN losses
+def feature_loss(fmap_r, fmap_g):
+    """L1 feature-matching loss x2 (`models.py:251-257`)."""
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss * 2
+
+
+def discriminator_loss(disc_real, disc_gen):
+    """LSGAN discriminator loss (`models.py:260-272`)."""
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(disc_real, disc_gen):
+        r = jnp.mean((1 - dr) ** 2)
+        g = jnp.mean(dg**2)
+        loss += r + g
+        r_losses.append(r)
+        g_losses.append(g)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(disc_outputs):
+    """LSGAN generator loss (`models.py:275-283`)."""
+    loss = 0.0
+    gen_losses = []
+    for dg in disc_outputs:
+        l = jnp.mean((1 - dg) ** 2)
+        gen_losses.append(l)
+        loss += l
+    return loss, gen_losses

@@ -1,0 +1,210 @@
+"""MatchaTTS model: losses, alignment, and synthesis.
+
+TPU-native reimplementation of the reference top-level module
+(`/root/reference/matcha/models/matcha_tts.py`): text encoder + MAS alignment +
+duration/prior/flow-matching losses for training, and duration-driven alignment +
+CFM ODE sampling for inference.
+
+Everything is a pure function of a parameter pytree with static shapes:
+
+  * training `compute_losses`: one fused jittable graph, MAS included (Pallas kernel on
+    TPU — no host round-trip, unlike the reference's `.cpu().numpy()` detour at
+    `monotonic_align/__init__.py:48-55`);
+  * inference is split in two jittable stages so the mel-frame budget stays static:
+    `encode_durations` predicts per-token durations, the host picks a padded frame
+    bucket, and `decode_fixed` runs path-building + ODE sampling at that bucket. The
+    fully-jitted `synthesise_fixed` fuses both when a static budget is known up front.
+
+Layout: activations are feature-last (B, T, C); the reference's channels-first arrays
+correspond to transposes at the API boundary.
+
+Preserved reference quirks (SURVEY.md §7): `length_scale` multiplies AFTER ceil
+(`matcha_tts.py:219`); prior loss keeps the +log(2*pi) constant inside the masked sum
+(`matcha_tts.py:320`); mel statistics default to identity (mean 0 / std 1,
+`matcha_tts.py:174-176`).
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from matcha_tpu.flow import SIGMA_MIN, cfm_loss, sample_cfm
+from matcha_tpu.nn.decoder import Decoder, DecoderConfig
+from matcha_tpu.nn.encoder import EncoderConfig, TextEncoder
+from matcha_tpu.ops import duration_loss, generate_path, maximum_path, sequence_mask
+
+
+@dataclass(frozen=True)
+class MatchaConfig:
+    """Canonical hyperparameters (`matcha_tts.py:104-176`, the `train.py:75-79` path)."""
+
+    n_vocab: int = 150
+    n_feats: int = 80
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    solver: str = "euler"
+    sigma_min: float = SIGMA_MIN
+    prior_loss: bool = True
+    mel_mean: float = 0.0
+    mel_std: float = 1.0
+
+
+class MatchaTTS(nn.Module):
+    """Flagship TTS model. Use via `.apply(params, ..., method=...)`."""
+
+    cfg: MatchaConfig
+
+    def setup(self):
+        self.encoder = TextEncoder(self.cfg.encoder)
+        self.decoder = Decoder(self.cfg.decoder)
+
+    # ------------------------------------------------------------------ losses
+    def compute_losses(
+        self,
+        x,
+        x_lengths,
+        y,
+        y_lengths,
+        *,
+        deterministic: bool = False,
+        mas_impl: str = "auto",
+        durations: Optional[jnp.ndarray] = None,
+    ):
+        """Training forward (`matcha_tts.py:247-325`).
+
+        Args:
+            x: (B, Tx) token ids; x_lengths: (B,).
+            y: (B, Ty, n_feats) target log-mel; y_lengths: (B,). Ty must be a multiple
+               of 2**decoder downsamples.
+            durations: optional precomputed (B, Tx) durations (skips MAS).
+        Returns:
+            dict(dur_loss, prior_loss, diff_loss, attn)
+        """
+        cfg = self.cfg
+        mu_x, logw, x_mask = self.encoder(x, x_lengths, deterministic=deterministic)
+        y_mask = sequence_mask(y_lengths, y.shape[1]).astype(x_mask.dtype)[:, :, None]
+        attn_mask = x_mask[:, :, 0][:, :, None] * y_mask[:, :, 0][:, None, :]  # (B,Tx,Ty)
+
+        if durations is not None:
+            attn = generate_path(durations, attn_mask)
+        else:
+            # Gaussian log-prior score between every (token, frame) pair
+            # (`matcha_tts.py:277-282`) — three MXU contractions.
+            const = -0.5 * math.log(2 * math.pi) * cfg.n_feats
+            s_yy = -0.5 * jnp.sum(y**2, axis=-1)  # (B, Ty)
+            cross = jnp.einsum("bxf,byf->bxy", mu_x, y)
+            s_mm = -0.5 * jnp.sum(mu_x**2, axis=-1)  # (B, Tx)
+            log_prior = s_yy[:, None, :] + cross + s_mm[:, :, None] + const
+            attn = maximum_path(log_prior, attn_mask, impl=mas_impl)
+            attn = jax.lax.stop_gradient(attn)
+
+        # Duration loss on log-domain frame counts (`matcha_tts.py:287-288`).
+        logw_target = jnp.log(1e-8 + jnp.sum(attn, axis=-1))[:, :, None] * x_mask
+        dur = duration_loss(logw, logw_target, x_lengths)
+
+        # Aligned condition mu_y = attn^T mu_x (`matcha_tts.py:314-315`).
+        mu_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)
+
+        estimator = lambda xt, m, mu, t: self.decoder(
+            xt, m, mu, t, deterministic=deterministic
+        )
+        rng = self.make_rng("cfm") if not self.is_initializing() else jax.random.PRNGKey(0)
+        diff, _ = cfm_loss(estimator, rng, y, y_mask, mu_y, sigma_min=cfg.sigma_min)
+
+        if cfg.prior_loss:
+            prior = jnp.sum(0.5 * ((y - mu_y) ** 2 + math.log(2 * math.pi)) * y_mask)
+            prior = prior / (jnp.sum(y_mask) * cfg.n_feats)
+        else:
+            prior = jnp.zeros(())
+
+        return {"dur_loss": dur, "prior_loss": prior, "diff_loss": diff, "attn": attn}
+
+    # --------------------------------------------------------------- inference
+    def encode_durations(self, x, x_lengths, length_scale: float = 1.0):
+        """Stage 1: encoder forward -> (mu_x, per-token durations, frame totals).
+
+        Durations follow `matcha_tts.py:218-220`: w = exp(logw) * mask,
+        w_ceil = ceil(w) * length_scale (reference applies the scale AFTER ceil).
+        """
+        mu_x, logw, x_mask = self.encoder(x, x_lengths, deterministic=True)
+        w = jnp.exp(logw) * x_mask
+        w_ceil = jnp.ceil(w) * length_scale
+        y_lengths = jnp.clip(jnp.sum(w_ceil, axis=(1, 2)), min=1.0).astype(jnp.int32)
+        return mu_x, w_ceil[:, :, 0], x_mask, y_lengths
+
+    def decode_fixed(
+        self,
+        mu_x,
+        w_ceil,
+        x_mask,
+        y_lengths,
+        y_max_length: int,
+        n_timesteps: int,
+        temperature: float = 1.0,
+    ):
+        """Stage 2: alignment + ODE decode at a static frame budget `y_max_length`.
+
+        `y_max_length` must be a multiple of 2**decoder downsamples
+        (fix_len_compatibility, `matcha_tts.py:222`).
+        """
+        cfg = self.cfg
+        y_lengths = jnp.minimum(y_lengths, y_max_length)
+        y_mask = sequence_mask(y_lengths, y_max_length).astype(mu_x.dtype)[:, :, None]
+        attn_mask = x_mask[:, :, 0][:, :, None] * y_mask[:, :, 0][:, None, :]
+        attn = generate_path(w_ceil, attn_mask)  # (B, Tx, Ty)
+
+        mu_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)
+
+        estimator = lambda xt, m, mu, t: self.decoder(xt, m, mu, t, deterministic=True)
+        rng = self.make_rng("noise") if not self.is_initializing() else jax.random.PRNGKey(0)
+        dec = sample_cfm(
+            estimator, rng, mu_y, y_mask, n_timesteps, temperature, solver=cfg.solver
+        )
+        dec = dec * y_mask
+        mel = dec * cfg.mel_std + cfg.mel_mean  # denormalize (`matcha_tts.py:242`)
+        return {
+            "encoder_outputs": mu_y,
+            "decoder_outputs": dec,
+            "mel": mel,
+            "attn": attn,
+            "mel_lengths": y_lengths,
+        }
+
+    def synthesise_fixed(
+        self,
+        x,
+        x_lengths,
+        y_max_length: int,
+        n_timesteps: int,
+        temperature: float = 1.0,
+        length_scale: float = 1.0,
+    ):
+        """Fully-jitted text -> mel at a static frame budget (`matcha_tts.py:179-245`)."""
+        mu_x, w_ceil, x_mask, y_lengths = self.encode_durations(x, x_lengths, length_scale)
+        return self.decode_fixed(
+            mu_x, w_ceil, x_mask, y_lengths, y_max_length, n_timesteps, temperature
+        )
+
+    def __call__(self, x, x_lengths, y, y_lengths):
+        """Initialization entry point (traces the full train path)."""
+        return self.compute_losses(
+            x, x_lengths, y, y_lengths, deterministic=True, mas_impl="ref"
+        )
+
+
+def create_model(cfg: MatchaConfig = MatchaConfig()):
+    return MatchaTTS(cfg)
+
+
+def init_params(model: MatchaTTS, rng: jax.Array, tx: int = 16, ty: int = 32):
+    """Initialize a parameter pytree with tiny dummy shapes."""
+    x = jnp.zeros((2, tx), jnp.int32)
+    xl = jnp.full((2,), tx, jnp.int32)
+    y = jnp.zeros((2, ty, model.cfg.n_feats), jnp.float32)
+    yl = jnp.full((2,), ty, jnp.int32)
+    variables = model.init({"params": rng, "cfm": rng, "noise": rng, "dropout": rng}, x, xl, y, yl)
+    return variables["params"]

@@ -119,9 +119,10 @@ class Downsample1D(nn.Module):
 class Upsample1D(nn.Module):
     """ConvTranspose(k=4, s=2, p=1) upsample (`decoder.py:100-116`).
 
-    torch ConvTranspose1d(k,s,p) == lhs-dilated conv with flipped kernel and padding
-    k-1-p on both sides; flax ConvTranspose with padding [(k-1-p, k-1-p)] and
-    transpose_kernel=True reproduces it exactly (output length 2*T for these params).
+    torch ConvTranspose1d(k,s,p) == conv over the stride-dilated input padded with
+    k-1-p on both sides, with a flipped kernel; flax ConvTranspose applies `padding`
+    to the dilated input directly, so the torch-parity spec is [(k-1-p, k-1-p)] with
+    transpose_kernel=True (output length 2*T for k=4, s=2, p=1).
     """
 
     dim: int
@@ -129,7 +130,7 @@ class Upsample1D(nn.Module):
     @nn.compact
     def __call__(self, x):
         return nn.ConvTranspose(
-            self.dim, (4,), strides=(2,), padding=[(1, 1)],
+            self.dim, (4,), strides=(2,), padding=[(2, 2)],
             transpose_kernel=True, kernel_init=_kaiming_relu(),
         )(x)
 

@@ -1,0 +1,25 @@
+"""Distributed layer: mesh construction, shardings, TP partition rules."""
+
+from matcha_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    batch_spec,
+    init_distributed,
+    make_mesh,
+    replicated,
+)
+from matcha_tpu.parallel.sharding import param_shardings, param_spec, shard_params
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "batch_spec",
+    "replicated",
+    "init_distributed",
+    "param_shardings",
+    "param_spec",
+    "shard_params",
+]

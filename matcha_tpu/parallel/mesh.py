@@ -1,0 +1,52 @@
+"""Device mesh construction and distributed initialization.
+
+The reference has no distributed layer (single GPU pinned at `train.py:84-85`); this is
+the greenfield TPU-native scaling layer (SURVEY.md §2.2): a ('data', 'model') mesh where
+data-parallel gradient all-reduce rides ICI (and DCN across slices) and the optional
+'model' axis tensor-shards attention heads / FFN hidden dims.
+"""
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def init_distributed():
+    """Initialize the JAX distributed runtime when running multi-host.
+
+    No-op on a single host. Env-driven (JAX_COORDINATOR_ADDRESS etc.), matching
+    standard TPU pod bring-up.
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_spec() -> P:
+    """Batch arrays shard along the data axis."""
+    return P(DATA_AXIS)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec())
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,87 @@
+"""Orbax checkpoint store: top-k on val loss + always-latest + auto-resume.
+
+TPU-native equivalent of the reference's Lightning ModelCheckpoint pair
+(`/root/reference/train.py:90-101`: top-3 on `loss/val` + save_last) and its
+newest-checkpoint auto-resume (`train.py:10-43`).
+"""
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointStore:
+    def __init__(self, root: str, keep_top_k: int = 3):
+        self.root = Path(root).resolve()
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.keep_top_k = keep_top_k
+        self._ckptr = ocp.StandardCheckpointer()
+        self._index_path = self.root / "index.json"
+        self._index = self._load_index()
+
+    def _load_index(self):
+        if self._index_path.exists():
+            return json.loads(self._index_path.read_text())
+        return {"entries": []}  # list of {step, epoch, val_loss, path}
+
+    def _write_index(self):
+        self._index_path.write_text(json.dumps(self._index, indent=1))
+
+    def save(self, step: int, epoch: int, params: Any, opt_state: Any, val_loss: float):
+        path = self.root / f"step_{step:09d}"
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(path, {"params": params, "opt_state": opt_state})
+        self._ckptr.wait_until_finished()
+        self._index["entries"].append(
+            {"step": step, "epoch": epoch, "val_loss": float(val_loss), "path": str(path)}
+        )
+        self._gc()
+        self._write_index()
+
+    def _gc(self):
+        """Keep the top-k by val loss plus the most recent entry."""
+        entries = self._index["entries"]
+        if not entries:
+            return
+        latest = max(entries, key=lambda e: e["step"])
+        best = sorted(entries, key=lambda e: e["val_loss"])[: self.keep_top_k]
+        keep = {e["path"] for e in best} | {latest["path"]}
+        kept = []
+        for e in entries:
+            if e["path"] in keep:
+                kept.append(e)
+            else:
+                p = Path(e["path"])
+                if p.exists():
+                    shutil.rmtree(p)
+        self._index["entries"] = kept
+
+    def latest(self) -> Optional[dict]:
+        entries = self._index["entries"]
+        return max(entries, key=lambda e: e["step"]) if entries else None
+
+    def best(self) -> Optional[dict]:
+        entries = self._index["entries"]
+        return min(entries, key=lambda e: e["val_loss"]) if entries else None
+
+    def restore(self, entry: dict, params_like: Any, opt_state_like: Any) -> Tuple:
+        target = {"params": params_like, "opt_state": opt_state_like}
+        restored = self._ckptr.restore(Path(entry["path"]), target)
+        return restored["params"], restored["opt_state"], entry["step"], entry["epoch"]
+
+    def restore_latest(self, params_like: Any, opt_state_like: Any) -> Optional[Tuple]:
+        entry = self.latest()
+        if entry is None:
+            return None
+        return self.restore(entry, params_like, opt_state_like)
+
+    def restore_best(self, params_like: Any, opt_state_like: Any) -> Optional[Tuple]:
+        entry = self.best()
+        if entry is None:
+            return None
+        return self.restore(entry, params_like, opt_state_like)

@@ -150,7 +150,9 @@ class Generator(nn.Module):
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
 
-        x = _lrelu(x)
+        # Reference quirk: the final leaky_relu uses torch's DEFAULT slope 0.01,
+        # not LRELU_SLOPE (`models.py:111` calls F.leaky_relu with no slope arg).
+        x = jax.nn.leaky_relu(x, 0.01)
         x = nn.Conv(1, (7,), padding=[(3, 3)], kernel_init=_norm_init(), name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
 

@@ -1,0 +1,79 @@
+"""Data pipeline tests: collate shapes, bucketing, per-host sharding, split generation."""
+
+import numpy as np
+
+from matcha_tpu.data.dataset import (
+    DataConfig,
+    SyntheticDataset,
+    batch_iterator,
+    collate,
+)
+from matcha_tpu.data.ljspeech import process_csv
+
+
+def test_collate_static_shapes():
+    ds = SyntheticDataset(n_items=8, min_frames=50, max_frames=120)
+    cfg = DataConfig(batch_size=4, text_pad_multiple=16, mel_pad_multiple=32)
+    batch = collate([ds.get(i) for i in range(4)], cfg)
+    assert batch["x"].dtype == np.int32
+    assert batch["y"].dtype == np.float32
+    assert batch["x"].shape[1] % 16 == 0
+    assert batch["y"].shape[1] % 4 == 0  # U-Net downsampling requirement
+    assert (batch["x_lengths"] <= batch["x"].shape[1]).all()
+    assert (batch["y_lengths"] <= batch["y"].shape[1]).all()
+    # padding is zeros
+    for i in range(4):
+        assert batch["x"][i, batch["x_lengths"][i]:].sum() == 0
+        assert np.abs(batch["y"][i, batch["y_lengths"][i]:, :]).sum() == 0
+
+
+def test_batch_iterator_covers_dataset_and_buckets():
+    ds = SyntheticDataset(n_items=64, min_frames=40, max_frames=300)
+    cfg = DataConfig(batch_size=8, shuffle_seed=3)
+    batches = list(batch_iterator(ds, cfg, epoch=0))
+    assert len(batches) == 8
+    # bucketing: within-batch length spread should be far below global spread
+    spreads = [b["y_lengths"].max() - b["y_lengths"].min() for b in batches]
+    glob = max(ds.mel_length(i) for i in range(64)) - min(ds.mel_length(i) for i in range(64))
+    assert np.mean(spreads) < glob * 0.55
+
+
+def test_batch_iterator_epoch_reshuffles():
+    ds = SyntheticDataset(n_items=32)
+    cfg = DataConfig(batch_size=4)
+    b0 = next(iter(batch_iterator(ds, cfg, epoch=0)))
+    b1 = next(iter(batch_iterator(ds, cfg, epoch=1)))
+    assert not np.array_equal(b0["x_lengths"], b1["x_lengths"]) or not np.array_equal(
+        b0["y_lengths"], b1["y_lengths"]
+    )
+
+
+def test_per_host_sharding_disjoint():
+    ds = SyntheticDataset(n_items=40)
+    cfg = DataConfig(batch_size=4)
+    seen = []
+    for pi in range(2):
+        for b in batch_iterator(ds, cfg, epoch=0, process_index=pi, process_count=2,
+                                shuffle=False, drop_last=False):
+            seen.append((pi, b["y_lengths"].tolist()))
+    lens0 = [l for pi, ls in seen if pi == 0 for l in ls]
+    lens1 = [l for pi, ls in seen if pi == 1 for l in ls]
+    assert len(lens0) + len(lens1) == 40
+
+
+def test_process_csv_split(tmp_path):
+    base = tmp_path / "LJSpeech-1.1"
+    (base / "wavs").mkdir(parents=True)
+    with open(base / "metadata.csv", "w") as f:
+        for i in range(100):
+            f.write(f"LJ{i:03d}|raw text {i}|normalized text {i}\n")
+    n_train, n_val = process_csv(base)
+    assert n_train + n_val == 100
+    assert n_train > 90
+    lines = (base / "train.txt").read_text().strip().split("\n")
+    path, text = lines[0].split("|")
+    assert path.endswith(".wav") and "wavs" in path
+    assert text.startswith("raw text")
+    # deterministic split
+    n2 = process_csv(base)
+    assert n2 == (n_train, n_val)

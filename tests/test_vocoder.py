@@ -1,0 +1,92 @@
+"""Vocoder tests: Griffin-Lim reconstruction quality, inverse-mel NNLS, HiFi-GAN shapes
+and GAN losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matcha_tpu.audio.griffin_lim import griffin_lim, inverse_mel
+from matcha_tpu.audio.mel import MelConfig, mel_spectrogram, stft_magnitude
+
+CFG = MelConfig()
+
+
+def test_griffin_lim_reconstructs_tone():
+    """A pure tone's magnitude STFT should reconstruct to a highly correlated tone."""
+    from matcha_tpu.audio.griffin_lim import _stft
+
+    t = np.arange(22050 // 2) / 22050.0
+    y = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None, :]
+    mag = jnp.abs(_stft(CFG, jnp.asarray(y)))  # GL's own (center=True) analysis frames
+    rec = np.asarray(griffin_lim(CFG, mag, n_iter=32, length=y.shape[1]))
+    # compare spectral envelopes (phase-invariant)
+    m1 = np.asarray(mag)
+    m2 = np.asarray(jnp.abs(_stft(CFG, jnp.asarray(rec))))
+    corr = np.corrcoef(m1.ravel(), m2.ravel())[0, 1]
+    assert corr > 0.99
+
+
+def test_inverse_mel_roundtrip():
+    """mel_basis @ inverse_mel(mel) ~= mel for a realistic magnitude spectrum."""
+    rng = np.random.default_rng(0)
+    t = np.arange(22050 // 2) / 22050.0
+    y = (0.4 * np.sin(2 * np.pi * 523 * t) + 0.05 * rng.standard_normal(len(t))).astype(
+        np.float32
+    )[None, :]
+    mel = np.exp(np.asarray(mel_spectrogram(CFG, jnp.asarray(y))))  # linear mel
+    spec = np.asarray(inverse_mel(CFG, jnp.asarray(mel), n_iter=150))
+    assert (spec >= 0).all()
+    from matcha_tpu.audio.filters import mel_filterbank
+
+    fb = mel_filterbank(CFG.sample_rate, CFG.n_fft, CFG.n_mels, CFG.fmin, CFG.fmax)
+    mel_rec = np.einsum("mf,bft->bmt", fb, spec)
+    rel = np.abs(mel_rec - mel).sum() / mel.sum()
+    assert rel < 0.05
+
+
+def test_hifigan_generator_output_shape_small():
+    from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
+
+    cfg = HiFiGANConfig(upsample_initial_channel=32)
+    gen = Generator(cfg)
+    mel = jnp.zeros((2, 5, 80))
+    params = gen.init(jax.random.PRNGKey(0), mel)
+    wav = gen.apply(params, mel)
+    assert wav.shape == (2, 5 * 8 * 8 * 2 * 2)
+    assert (np.abs(np.asarray(wav)) <= 1.0).all()  # tanh range
+
+
+def test_discriminators_and_gan_losses():
+    from matcha_tpu.models.hifigan import (
+        MultiPeriodDiscriminator,
+        MultiScaleDiscriminator,
+        discriminator_loss,
+        feature_loss,
+        generator_loss,
+    )
+
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.standard_normal((2, 1024)).astype(np.float32))
+    y_hat = jnp.asarray(rng.standard_normal((2, 1024)).astype(np.float32))
+
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    params = mpd.init(jax.random.PRNGKey(0), y, y_hat)
+    o_r, o_g, f_r, f_g = mpd.apply(params, y, y_hat)
+    assert len(o_r) == 2
+
+    d_loss, r_losses, g_losses = discriminator_loss(o_r, o_g)
+    g_loss, gen_losses = generator_loss(o_g)
+    f_loss = feature_loss(f_r, f_g)
+    for v in (d_loss, g_loss, f_loss):
+        assert np.isfinite(float(v))
+    # perfect discriminator on real (output 1) and fake (output 0) -> zero loss
+    ones = [jnp.ones_like(o) for o in o_r]
+    zeros = [jnp.zeros_like(o) for o in o_g]
+    d0, _, _ = discriminator_loss(ones, zeros)
+    assert float(d0) == 0.0
+
+    msd = MultiScaleDiscriminator()
+    params = msd.init(jax.random.PRNGKey(0), y, y_hat)
+    o_r, o_g, f_r, f_g = msd.apply(params, y, y_hat)
+    assert len(o_r) == 3

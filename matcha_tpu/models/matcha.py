@@ -73,6 +73,7 @@ class MatchaTTS(nn.Module):
         deterministic: bool = False,
         mas_impl: str = "auto",
         durations: Optional[jnp.ndarray] = None,
+        out_size: Optional[int] = None,
     ):
         """Training forward (`matcha_tts.py:247-325`).
 
@@ -81,6 +82,10 @@ class MatchaTTS(nn.Module):
             y: (B, Ty, n_feats) target log-mel; y_lengths: (B,). Ty must be a multiple
                of 2**decoder downsamples.
             durations: optional precomputed (B, Tx) durations (skips MAS).
+            out_size: optional static crop length — the decoder trains on a random
+               window of this many frames per sample (`matcha_tts.py:290-312`; dormant
+               in the reference's own training config). Must be a multiple of
+               2**decoder downsamples and <= Ty.
         Returns:
             dict(dur_loss, prior_loss, diff_loss, attn)
         """
@@ -105,6 +110,26 @@ class MatchaTTS(nn.Module):
         # Duration loss on log-domain frame counts (`matcha_tts.py:287-288`).
         logw_target = jnp.log(1e-8 + jnp.sum(attn, axis=-1))[:, :, None] * x_mask
         dur = duration_loss(logw, logw_target, x_lengths)
+
+        if out_size is not None and out_size < y.shape[1]:
+            # Random fixed-length window per sample for memory-bounded decoder
+            # training (`matcha_tts.py:290-312`), static-shape via dynamic_slice.
+            rng_crop = self.make_rng("crop") if not self.is_initializing() else jax.random.PRNGKey(0)
+            max_offset = jnp.maximum(y_lengths - out_size, 0)
+            u = jax.random.uniform(rng_crop, (y.shape[0],))
+            offsets = jnp.floor(u * jnp.maximum(max_offset, 1)).astype(jnp.int32)
+            offsets = jnp.minimum(offsets, max_offset)
+
+            def crop_one(y_i, attn_i, off):
+                y_c = jax.lax.dynamic_slice_in_dim(y_i, off, out_size, axis=0)
+                a_c = jax.lax.dynamic_slice_in_dim(attn_i, off, out_size, axis=1)
+                return y_c, a_c
+
+            y, attn = jax.vmap(crop_one)(y, attn, offsets)
+            y_cut_lengths = jnp.minimum(y_lengths, out_size)
+            y_mask = sequence_mask(y_cut_lengths, out_size).astype(x_mask.dtype)[:, :, None]
+            y = y * y_mask
+            attn = attn * y_mask[:, :, 0][:, None, :]
 
         # Aligned condition mu_y = attn^T mu_x (`matcha_tts.py:314-315`).
         mu_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)

@@ -249,5 +249,46 @@ class Trainer:
                 self.logger.log(step, agg, prefix="val/")
 
                 if jax.process_index() == 0:
+                    self._log_validation_images(params, val_ds, epoch, step)
                     self.checkpoints.save(step, epoch + 1, params, opt_state, agg["loss"])
         return params, opt_state, step
+
+    def _log_validation_images(self, params, val_ds, epoch: int, step: int, n_samples: int = 2):
+        """Render encoder/decoder/alignment images for the first val samples.
+
+        Mirrors the reference's rank-0 `on_validation_end` TensorBoard rendering
+        (`baselightningmodule.py:204-242`, synthesise with n_timesteps=10).
+        """
+        if self.logger.tb is None or len(val_ds) == 0:
+            return
+        from matcha_tpu.ops.masks import fix_len_compatibility
+        from matcha_tpu.utils.plotting import plot_tensor
+
+        try:
+            for i in range(min(n_samples, len(val_ds))):
+                item = val_ds.get(i)
+                x = jnp.asarray(item["x"])[None, :]
+                xl = jnp.asarray([x.shape[1]], jnp.int32)
+                if epoch == 0:
+                    self.logger.tb.add_image(
+                        f"original/{i}", plot_tensor(item["y"].T), epoch, dataformats="HWC"
+                    )
+                mu_x, w_ceil, x_mask, y_len = self.model.apply(
+                    {"params": params}, x, xl, method=MatchaTTS.encode_durations
+                )
+                budget = min(fix_len_compatibility(max(int(np.asarray(y_len).max()), 4)),
+                             self.data_cfg.max_mel_len)
+                out = self.model.apply(
+                    {"params": params}, mu_x, w_ceil, x_mask, y_len, budget, 10,
+                    method=MatchaTTS.decode_fixed, rngs={"noise": jax.random.PRNGKey(epoch)},
+                )
+                for name, arr in (
+                    ("generated_enc", np.asarray(out["encoder_outputs"][0]).T),
+                    ("generated_dec", np.asarray(out["decoder_outputs"][0]).T),
+                    ("alignment", np.asarray(out["attn"][0])),
+                ):
+                    self.logger.tb.add_image(
+                        f"{name}/{i}", plot_tensor(arr), epoch, dataformats="HWC"
+                    )
+        except Exception as e:  # rendering must never kill training
+            print(f"validation image rendering failed: {e}")

@@ -28,7 +28,10 @@ TINY = MatchaConfig(
 
 
 def _tiny_batch(n=4):
-    ds = SyntheticDataset(n_items=n, min_frames=16, max_frames=32)
+    from matcha_tpu.audio.mel import MelConfig
+
+    ds = SyntheticDataset(n_items=n, mel_cfg=MelConfig(n_mels=TINY.n_feats),
+                          min_frames=16, max_frames=32)
     return collate([ds.get(i) for i in range(n)],
                    DataConfig(batch_size=n, text_pad_multiple=16, mel_pad_multiple=16))
 
@@ -36,7 +39,7 @@ def _tiny_batch(n=4):
 def test_lr_schedule_cosine():
     cfg = TrainConfig(lr=1e-4, eta_min=1e-6, cosine_epochs=100)
     sched = make_lr_schedule(cfg, steps_per_epoch=10)
-    assert float(sched(0)) == 1e-4
+    np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-5)
     np.testing.assert_allclose(float(sched(100 * 10)), 1e-6, rtol=1e-5)
     mid = float(sched(50 * 10))
     np.testing.assert_allclose(mid, (1e-4 + 1e-6) / 2, rtol=1e-4)

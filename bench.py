@@ -40,16 +40,29 @@ def bench_synthesis(batch=64, tx=64, ty=512, n_timesteps=10, iters=5):
         )
         return out["mel"]
 
-    jfn = jax.jit(fn)
-    key = jax.random.PRNGKey(1)
-    jax.block_until_ready(jfn(params, x, xl, key))  # compile
+    # NOTE on methodology: block_until_ready does not synchronize through the axon
+    # tunnel, and each synchronous host call pays ~28 ms of tunnel round-trip latency.
+    # So (a) timing forces a scalar device->host transfer, and (b) `inner` repetitions
+    # run in-graph via lax.scan so the latency amortizes out of the per-batch number.
+    inner = 4
+
+    def repeated(params, x, xl, key):
+        def body(acc, k):
+            return acc + jnp.sum(fn(params, x, xl, k)), None
+
+        keys = jax.random.split(key, inner)
+        acc, _ = jax.lax.scan(body, 0.0, keys)
+        return acc
+
+    jfn = jax.jit(repeated)
+    float(jfn(params, x, xl, jax.random.PRNGKey(1)))  # compile + run
 
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(jfn(params, x, xl, jax.random.PRNGKey(i)))
+        float(jfn(params, x, xl, jax.random.PRNGKey(i)))
         times.append(time.perf_counter() - t0)
-    wall = float(np.median(times))
+    wall = float(np.median(times)) / inner
     audio_seconds = batch * ty * 256 / 22050.0
     return audio_seconds / wall, wall, audio_seconds
 
@@ -68,11 +81,22 @@ def bench_mas(b=32, tx=150, ty=800, iters=10):
     mask = x_mask[:, :, None] * y_mask[:, None, :]
 
     jv, jm = jnp.asarray(value), jnp.asarray(mask)
-    jax.block_until_ready(maximum_path_pallas(jv, jm))
+    inner = 16  # in-graph repeats to amortize the ~28 ms tunnel round trip
+
+    def mas_rep(v, m):
+        def body(acc, i):
+            # vary the input so XLA cannot CSE the iterations
+            return acc + jnp.sum(maximum_path_pallas(v + acc * 0.0 + i * 0.0, m)), None
+
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(inner, dtype=jnp.float32))
+        return acc
+
+    mas_sum = jax.jit(mas_rep)
+    float(mas_sum(jv, jm))  # compile + run (scalar transfer = real sync, see above)
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(maximum_path_pallas(jv, jm))
-    t_pallas = (time.perf_counter() - t0) / iters
+        float(mas_sum(jv, jm))
+    t_pallas = (time.perf_counter() - t0) / iters / inner
 
     maximum_path_cpp(value, mask)
     t0 = time.perf_counter()

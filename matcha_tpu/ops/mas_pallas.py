@@ -8,14 +8,14 @@ on-chip:
 
   * The score tensor is laid out (Ty, B, Tx) so each DP step reads one (B, Tx) tile —
     batch in sublanes, text positions in lanes — a single VPU-shaped row per mel frame.
-  * Kernel 1 (forward) runs a sequential grid over Ty; the DP row lives in VMEM scratch
-    that persists across grid steps, and take-diagonal bits stream back to HBM.
-  * Kernel 2 (backtrack) runs the grid in reverse via the BlockSpec index map, carrying
-    the per-utterance path position as a (B, 1) register column; the gather
+  * Kernel 1 (forward) runs a sequential grid over chunks of CHUNK mel frames; the DP
+    row lives in VMEM scratch that persists across grid steps, an inner fori_loop walks
+    the frames of the chunk, and take-diagonal bits stream back to HBM. Chunking
+    amortizes the per-grid-step dispatch overhead ~CHUNK x while Pallas double-buffers
+    the HBM streams.
+  * Kernel 2 (backtrack) runs the chunk grid in reverse via the BlockSpec index map,
+    carrying the per-utterance path position as a (B, 1) column; the gather
     `take_diag[y, b, idx_b]` is expressed as a one-hot reduction (no dynamic gather).
-
-All Ty steps for the whole batch run in one kernel launch; per-step work is a handful of
-(B, Tx) VPU ops, and Pallas double-buffers the HBM streams automatically.
 """
 
 import functools
@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9
+CHUNK = 16  # mel frames per grid step
 
 
 def _round_up(x: int, m: int) -> int:
@@ -34,10 +35,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _forward_kernel(tx_ref, ty_ref, score_ref, td_ref, dp_ref):
-    """One grid step = one mel frame y of the DP over all utterances."""
-    y = pl.program_id(0)
+    """One grid step = CHUNK mel frames of the DP over all utterances."""
+    c = pl.program_id(0)
+    chunk = score_ref.shape[0]
 
-    @pl.when(y == 0)
+    @pl.when(c == 0)
     def _init():
         dp_ref[:] = jnp.full_like(dp_ref, NEG)
 
@@ -46,27 +48,33 @@ def _forward_kernel(tx_ref, ty_ref, score_ref, td_ref, dp_ref):
     ty = ty_ref[:]  # (B, 1) int32
     xs = jax.lax.broadcasted_iota(jnp.int32, (b, tx_max), 1)
 
-    x_min = jnp.maximum(0, tx + y - ty)
-    x_max = jnp.minimum(tx, y + 1)
-    in_band = (xs >= x_min) & (xs < x_max)
+    def frame(j, _):
+        y = c * chunk + j
+        x_min = jnp.maximum(0, tx + y - ty)
+        x_max = jnp.minimum(tx, y + 1)
+        in_band = (xs >= x_min) & (xs < x_max)
 
-    dp_prev = dp_ref[:]
-    # from_prev[x] = dp_prev[x-1]; x == 0 gets 0 at y == 0 else NEG.
-    shifted = pltpu.roll(dp_prev, 1, 1)
-    from_prev = jnp.where(xs == 0, jnp.where(y == 0, 0.0, NEG), shifted)
-    from_same = jnp.where((xs == y) | (y == 0), NEG, dp_prev)
+        dp_prev = dp_ref[:]
+        # from_prev[x] = dp_prev[x-1]; x == 0 gets 0 at y == 0 else NEG.
+        shifted = pltpu.roll(dp_prev, 1, 1)
+        from_prev = jnp.where(xs == 0, jnp.where(y == 0, 0.0, NEG), shifted)
+        from_same = jnp.where((xs == y) | (y == 0), NEG, dp_prev)
 
-    take_diag = (from_prev >= from_same) | (xs == y)
-    best = jnp.where(take_diag, from_prev, from_same)
-    dp_ref[:] = jnp.where(in_band, best + score_ref[0], NEG)
-    td_ref[0] = take_diag.astype(jnp.float32)
+        take_diag = (from_prev >= from_same) | (xs == y)
+        best = jnp.where(take_diag, from_prev, from_same)
+        dp_ref[:] = jnp.where(in_band, best + score_ref[j], NEG)
+        td_ref[j] = take_diag.astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, frame, 0, unroll=True)
 
 
 def _backward_kernel(tx_ref, ty_ref, td_ref, out_ref, idx_ref):
-    """One grid step = one mel frame, visited in reverse (via the index map)."""
+    """One grid step = CHUNK mel frames, visited in reverse (via the index map)."""
     s = pl.program_id(0)
-    ty_max = pl.num_programs(0)
-    y = ty_max - 1 - s
+    n_chunks = pl.num_programs(0)
+    chunk = td_ref.shape[0]
+    c = n_chunks - 1 - s
 
     tx = tx_ref[:]
     ty = ty_ref[:]
@@ -75,32 +83,41 @@ def _backward_kernel(tx_ref, ty_ref, td_ref, out_ref, idx_ref):
     def _init():
         idx_ref[:] = tx - 1
 
-    b, tx_max = idx_ref.shape[0], out_ref.shape[2]
+    b = idx_ref.shape[0]
+    tx_max = out_ref.shape[2]
     xs = jax.lax.broadcasted_iota(jnp.int32, (b, tx_max), 1)
 
-    idx = idx_ref[:]  # (B, 1)
-    active = y < ty  # (B, 1) bool
-    onehot = xs == idx  # (B, Tx)
-    row = onehot & active
-    td_at_idx = jnp.sum(jnp.where(onehot, td_ref[0], 0.0), axis=1, keepdims=True)
-    dec = active & (y > 0) & (idx > 0) & ((idx == y) | (td_at_idx > 0.5))
-    idx_ref[:] = idx - dec.astype(jnp.int32)
-    out_ref[0] = row.astype(jnp.float32)
+    def frame(jj, _):
+        j = chunk - 1 - jj
+        y = c * chunk + j
+        idx = idx_ref[:]  # (B, 1)
+        active = y < ty  # (B, 1) bool
+        onehot = xs == idx  # (B, Tx)
+        row = onehot & active
+        td_at_idx = jnp.sum(jnp.where(onehot, td_ref[j], 0.0), axis=1, keepdims=True)
+        dec = active & (y > 0) & (idx > 0) & ((idx == y) | (td_at_idx > 0.5))
+        idx_ref[:] = idx - dec.astype(jnp.int32)
+        out_ref[j] = row.astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, frame, 0, unroll=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _mas_pallas(score_t: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray, interpret=False):
-    """score_t: (Ty, B, Tx) f32 (padded); returns (Ty, B, Tx) 0/1 path rows."""
+    """score_t: (Ty, B, Tx) f32 (Ty a multiple of CHUNK); returns (Ty, B, Tx) path rows."""
     ty_max, b, tx_max = score_t.shape
+    assert ty_max % CHUNK == 0
+    n_chunks = ty_max // CHUNK
     tx_col = t_x.reshape(b, 1).astype(jnp.int32)
     ty_col = t_y.reshape(b, 1).astype(jnp.int32)
 
-    row_spec = pl.BlockSpec((1, b, tx_max), lambda y: (y, 0, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((CHUNK, b, tx_max), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     take_diag = pl.pallas_call(
         _forward_kernel,
-        grid=(ty_max,),
+        grid=(n_chunks,),
         in_specs=[len_spec, len_spec, row_spec],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((ty_max, b, tx_max), jnp.float32),
@@ -109,11 +126,12 @@ def _mas_pallas(score_t: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray, interp
     )(tx_col, ty_col, score_t)
 
     rev_spec = pl.BlockSpec(
-        (1, b, tx_max), lambda s: (ty_max - 1 - s, 0, 0), memory_space=pltpu.VMEM
+        (CHUNK, b, tx_max), lambda s, n=n_chunks: (n - 1 - s, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     path_rows = pl.pallas_call(
         _backward_kernel,
-        grid=(ty_max,),
+        grid=(n_chunks,),
         in_specs=[len_spec, len_spec, rev_spec],
         out_specs=rev_spec,
         out_shape=jax.ShapeDtypeStruct((ty_max, b, tx_max), jnp.float32),
@@ -142,14 +160,19 @@ def maximum_path_pallas(value: jnp.ndarray, mask: jnp.ndarray, interpret=None) -
     t_x = mask[:, :, 0].sum(axis=1).astype(jnp.int32)
     t_y = mask[:, 0, :].sum(axis=1).astype(jnp.int32)
 
-    # Pad lanes (Tx) to 128 and sublanes (B) to 8 for clean VPU tiling.
+    # Pad lanes (Tx) to 128, sublanes (B) to 8, frames (Ty) to the chunk size.
+    # Padded frames have an empty DP band and inactive backtrack rows, so they are
+    # inert (same mechanism that handles per-sample t_y < Ty).
     tx_pad = _round_up(max(tx_max, 1), 128)
     b_pad = _round_up(max(b, 1), 8)
+    ty_pad = _round_up(max(ty_max, 1), CHUNK)
     score_t = jnp.transpose(value, (2, 0, 1))  # (Ty, B, Tx)
-    score_t = jnp.pad(score_t, ((0, 0), (0, b_pad - b), (0, tx_pad - tx_max)))
+    score_t = jnp.pad(
+        score_t, ((0, ty_pad - ty_max), (0, b_pad - b), (0, tx_pad - tx_max))
+    )
     t_x = jnp.pad(t_x, (0, b_pad - b))
     t_y = jnp.pad(t_y, (0, b_pad - b))
 
     rows = _mas_pallas(score_t, t_x, t_y, interpret=interpret)
-    path = jnp.transpose(rows, (1, 2, 0))[:b, :tx_max, :]  # (B, Tx, Ty)
+    path = jnp.transpose(rows, (1, 2, 0))[:b, :tx_max, :ty_max]  # (B, Tx, Ty)
     return (path * mask).astype(out_dtype)

@@ -99,12 +99,16 @@ class MatchaTTS(nn.Module):
         else:
             # Gaussian log-prior score between every (token, frame) pair
             # (`matcha_tts.py:277-282`) — three MXU contractions.
+            # The whole alignment search runs gradient-free (reference wraps it in
+            # torch.no_grad(), `matcha_tts.py:276`); stopping gradients on the inputs
+            # also keeps AD from trying to differentiate the Pallas kernel.
+            mu_sg = jax.lax.stop_gradient(mu_x)
             const = -0.5 * math.log(2 * math.pi) * cfg.n_feats
             s_yy = -0.5 * jnp.sum(y**2, axis=-1)  # (B, Ty)
-            cross = jnp.einsum("bxf,byf->bxy", mu_x, y)
-            s_mm = -0.5 * jnp.sum(mu_x**2, axis=-1)  # (B, Tx)
+            cross = jnp.einsum("bxf,byf->bxy", mu_sg, y)
+            s_mm = -0.5 * jnp.sum(mu_sg**2, axis=-1)  # (B, Tx)
             log_prior = s_yy[:, None, :] + cross + s_mm[:, :, None] + const
-            attn = maximum_path(log_prior, attn_mask, impl=mas_impl)
+            attn = maximum_path(log_prior, jax.lax.stop_gradient(attn_mask), impl=mas_impl)
             attn = jax.lax.stop_gradient(attn)
 
         # Duration loss on log-domain frame counts (`matcha_tts.py:287-288`).

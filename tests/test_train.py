@@ -141,3 +141,34 @@ def test_dp_equals_single_device_loss():
         sharded = eval_step(sp, sb, jax.random.PRNGKey(5))
     for k in base:
         np.testing.assert_allclose(float(base[k]), float(sharded[k]), rtol=2e-5, err_msg=k)
+
+
+def test_trainer_fit_smoke(tmp_path):
+    """Two epochs of the real fit loop on synthetic data + auto-resume."""
+    from matcha_tpu.audio.mel import MelConfig
+    from matcha_tpu.train.trainer import Trainer
+
+    data_cfg = DataConfig(batch_size=4, text_pad_multiple=16, mel_pad_multiple=16)
+    train_cfg = TrainConfig(
+        ckpt_dir=str(tmp_path / "ckpts"), accumulate_steps=1, mas_impl="ref",
+        log_every=1, log_grad_norm=False,
+    )
+    mel_cfg = MelConfig(n_mels=TINY.n_feats)
+    train_ds = SyntheticDataset(n_items=8, mel_cfg=mel_cfg, min_frames=16, max_frames=32)
+    val_ds = SyntheticDataset(n_items=4, mel_cfg=mel_cfg, seed=1, min_frames=16, max_frames=32)
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    trainer = Trainer(model_cfg=TINY, train_cfg=train_cfg, data_cfg=data_cfg, mesh=mesh)
+    params, opt_state, step = trainer.fit(train_ds, val_ds, max_epochs=2, resume=False)
+    assert step == 4  # 8 items / batch 4 = 2 steps/epoch * 2 epochs
+
+    # metrics written
+    metrics_file = tmp_path / "ckpts" / "logs" / "metrics.jsonl"
+    assert metrics_file.exists()
+    lines = metrics_file.read_text().strip().split("\n")
+    assert any('"val/loss"' in l for l in lines)
+
+    # checkpoints + auto-resume continue from epoch 2
+    trainer2 = Trainer(model_cfg=TINY, train_cfg=train_cfg, data_cfg=data_cfg, mesh=mesh)
+    params2, _, step2 = trainer2.fit(train_ds, val_ds, max_epochs=3, resume=True)
+    assert step2 == 6  # one more epoch only

@@ -107,8 +107,20 @@ def bench_mas(b=32, tx=150, ty=800, iters=10):
 
 
 def main():
+    import os
+
     backend = jax.default_backend()
     xrt, wall, audio_s = bench_synthesis()
+    bf16_xrt = None
+    if os.environ.get("MATCHA_BENCH_BF16"):
+        # Measured separately: global bfloat16 matmul precision (speed mode).
+        import jax as _j
+
+        _j.config.update("jax_default_matmul_precision", "bfloat16")
+        try:
+            bf16_xrt, _, _ = bench_synthesis(iters=3)
+        finally:
+            _j.config.update("jax_default_matmul_precision", "float32")
     try:
         mas_speedup, mas_pallas_ms, mas_cpp_ms = bench_mas()
     except Exception as e:  # C++ toolchain missing etc.
@@ -128,6 +140,7 @@ def main():
         "mas_pallas_vs_cpp_speedup": None if mas_speedup is None else round(mas_speedup, 2),
         "mas_pallas_ms": None if mas_pallas_ms is None else round(mas_pallas_ms, 2),
         "mas_cpp_ms": None if mas_cpp_ms is None else round(mas_cpp_ms, 2),
+        "bf16_x_realtime": None if bf16_xrt is None else round(bf16_xrt, 1),
     }
     print(json.dumps(result))
 

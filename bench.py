@@ -23,11 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_synthesis(batch=64, tx=64, ty=512, n_timesteps=10, iters=5):
+def bench_synthesis(batch=64, tx=64, ty=512, n_timesteps=10, iters=5, bf16=False):
     from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
 
     model = MatchaTTS(MatchaConfig())
     params = init_params(model, jax.random.PRNGKey(0))
+    if bf16:
+        from matcha_tpu.models.precision import bf16_serving
+
+        params = bf16_serving(params)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(3, 140, size=(batch, tx)), jnp.int32)
@@ -113,14 +117,8 @@ def main():
     xrt, wall, audio_s = bench_synthesis()
     bf16_xrt = None
     if os.environ.get("MATCHA_BENCH_BF16"):
-        # Measured separately: global bfloat16 matmul precision (speed mode).
-        import jax as _j
-
-        _j.config.update("jax_default_matmul_precision", "bfloat16")
-        try:
-            bf16_xrt, _, _ = bench_synthesis(iters=3)
-        finally:
-            _j.config.update("jax_default_matmul_precision", "float32")
+        # Serving mode: bf16 parameters/activations (matcha_tpu.models.precision).
+        bf16_xrt, _, _ = bench_synthesis(iters=3, bf16=True)
     try:
         mas_speedup, mas_pallas_ms, mas_cpp_ms = bench_mas()
     except Exception as e:  # C++ toolchain missing etc.

@@ -70,16 +70,18 @@ def solve_euler(estimator: Callable, x, mask, mu, n_timesteps: int):
     """Fixed-step Euler integration of dx/dt = v(x, t | mu) as a lax.scan.
 
     Reference semantics (`flow_matching.py:67-104`): t-span = linspace(0, 1, n+1),
-    n estimator evaluations.
+    n estimator evaluations. Time values stay float32 regardless of the activation
+    dtype — bf16 time quantization (~1/256) would corrupt the scale-1000 sinusoidal
+    time embedding.
     """
-    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1, dtype=x.dtype)
+    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1, dtype=jnp.float32)
     dts = jnp.diff(t_span)
 
     def step(carry, t_dt):
         t, dt = t_dt
         x = carry
-        v = estimator(x, mask, mu, jnp.full((x.shape[0],), t, x.dtype))
-        return x + dt * v, None
+        v = estimator(x, mask, mu, jnp.full((x.shape[0],), t, jnp.float32))
+        return (x + dt.astype(x.dtype) * v).astype(x.dtype), None
 
     x, _ = lax.scan(step, x, (t_span[:-1], dts))
     return x
@@ -87,16 +89,17 @@ def solve_euler(estimator: Callable, x, mask, mu, n_timesteps: int):
 
 def solve_midpoint(estimator: Callable, x, mask, mu, n_timesteps: int):
     """Explicit midpoint (RK2) integration — 2 estimator calls per step."""
-    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1, dtype=x.dtype)
+    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1, dtype=jnp.float32)
     dts = jnp.diff(t_span)
 
     def step(carry, t_dt):
         t, dt = t_dt
         x = carry
-        bcast = lambda s: jnp.full((x.shape[0],), s, x.dtype)
+        bcast = lambda s: jnp.full((x.shape[0],), s, jnp.float32)
+        dt_x = dt.astype(x.dtype)
         v1 = estimator(x, mask, mu, bcast(t))
-        v2 = estimator(x + 0.5 * dt * v1, mask, mu, bcast(t + 0.5 * dt))
-        return x + dt * v2, None
+        v2 = estimator((x + 0.5 * dt_x * v1).astype(x.dtype), mask, mu, bcast(t + 0.5 * dt))
+        return (x + dt_x * v2).astype(x.dtype), None
 
     x, _ = lax.scan(step, x, (t_span[:-1], dts))
     return x

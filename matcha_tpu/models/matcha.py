@@ -184,7 +184,11 @@ class MatchaTTS(nn.Module):
         y_lengths = jnp.minimum(y_lengths, y_max_length)
         y_mask = sequence_mask(y_lengths, y_max_length).astype(mu_x.dtype)[:, :, None]
         attn_mask = x_mask[:, :, 0][:, :, None] * y_mask[:, :, 0][:, None, :]
-        attn = generate_path(w_ceil, attn_mask)  # (B, Tx, Ty)
+        # Path construction in f32: bf16 duration cumsums lose integer exactness
+        # past 256 frames.
+        attn = generate_path(
+            w_ceil.astype(jnp.float32), attn_mask.astype(jnp.float32)
+        ).astype(mu_x.dtype)  # (B, Tx, Ty)
 
         mu_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)
 

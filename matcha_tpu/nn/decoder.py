@@ -169,8 +169,10 @@ class Decoder(nn.Module):
         """
         cfg = self.cfg
         time_embed_dim = cfg.channels[0] * 4
-        t_emb = SinusoidalPosEmb(cfg.in_channels)(t)
-        t_emb = TimestepEmbedding(time_embed_dim)(t_emb)
+        # Sinusoidal angles are computed in f32 (bf16 time values would corrupt the
+        # scale-1000 embedding); the embedding then joins the activation dtype.
+        t_emb = SinusoidalPosEmb(cfg.in_channels)(t.astype(jnp.float32))
+        t_emb = TimestepEmbedding(time_embed_dim)(t_emb.astype(x.dtype))
 
         x = jnp.concatenate([x, mu], axis=-1)
 

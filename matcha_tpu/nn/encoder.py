@@ -12,7 +12,7 @@ MXU. LayerNorm eps matches torch (1e-5).
 """
 
 from dataclasses import dataclass, field
-from typing import Callable
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax

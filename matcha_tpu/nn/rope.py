@@ -36,8 +36,9 @@ def apply_rope(x: jnp.ndarray, rope_dim: int) -> jnp.ndarray:
     """
     seq_len = x.shape[-2]
     cos, sin = _rope_tables(seq_len, rope_dim)
-    cos = jnp.asarray(cos)[None, None]  # (1, 1, T, rope_dim)
-    sin = jnp.asarray(sin)[None, None]
+    # Join the activation dtype (tables are f32) so bf16 serving stays bf16 end-to-end.
+    cos = jnp.asarray(cos, dtype=x.dtype)[None, None]  # (1, 1, T, rope_dim)
+    sin = jnp.asarray(sin, dtype=x.dtype)[None, None]
 
     x_rope, x_pass = x[..., :rope_dim], x[..., rope_dim:]
     half = rope_dim // 2

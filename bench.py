@@ -113,6 +113,9 @@ def bench_mas(b=32, tx=150, ty=800, iters=10):
 def main():
     import os
 
+    from matcha_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     backend = jax.default_backend()
     xrt, wall, audio_s = bench_synthesis()
     bf16_xrt = None

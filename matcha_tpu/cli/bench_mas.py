@@ -30,6 +30,9 @@ def make_problem(b, tx, ty, seed=0):
 
 
 def main():
+    from matcha_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from matcha_tpu.ops import maximum_path_pallas, maximum_path_ref
     from matcha_tpu.ops.mas_cpp import maximum_path_cpp
 

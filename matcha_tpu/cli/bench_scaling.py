@@ -15,6 +15,9 @@ import time
 
 
 def main():
+    from matcha_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--batch-per-device", type=int, default=4)

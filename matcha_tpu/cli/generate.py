@@ -45,6 +45,9 @@ def load_params(args, model):
 
 
 def main():
+    from matcha_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="Matcha-TTS synthesis (TPU-native)")
     ap.add_argument("--text", default=DEFAULT_TEXT)
     ap.add_argument("--vocoder", default="griffin_lim", choices=["griffin_lim", "hifigan"])

@@ -13,6 +13,9 @@ from pathlib import Path
 
 
 def main():
+    from matcha_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="Train Matcha-TTS (TPU-native)")
     ap.add_argument("--data-dir", default="data/LJSpeech-1.1")
     ap.add_argument("--ckpt-dir", default="checkpoints")
@@ -23,6 +26,8 @@ def main():
                     help="train on the synthetic dataset (smoke runs, no LJSpeech needed)")
     ap.add_argument("--mas-impl", default="auto", choices=["auto", "pallas", "ref"])
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+                    help="bf16 = mixed precision (bf16 U-Net, f32 master weights)")
     args = ap.parse_args()
 
     from matcha_tpu.data.dataset import DataConfig, SyntheticDataset, TextMelDataset
@@ -46,7 +51,7 @@ def main():
 
     trainer = Trainer(
         train_cfg=TrainConfig(ckpt_dir=args.ckpt_dir, max_epochs=args.max_epochs,
-                              mas_impl=args.mas_impl),
+                              mas_impl=args.mas_impl, precision=args.precision),
         data_cfg=DataConfig(batch_size=args.batch_size),
         mesh=make_mesh(model=args.tp),
     )

@@ -125,11 +125,14 @@ class Generator(nn.Module):
         cfg = self.cfg
         num_kernels = len(cfg.resblock_kernel_sizes)
         res_cls = ResBlock1 if cfg.resblock == "1" else ResBlock2
+        # Training parity: the reference weight-norms every generator conv
+        # (`models.py:80-106`); inference folds the norm into the kernels.
+        wn = nn.WeightNorm if self.weight_norm else (lambda m: m)
 
-        x = nn.Conv(
+        x = wn(nn.Conv(
             cfg.upsample_initial_channel, (7,), padding=[(3, 3)], kernel_init=_norm_init(),
             name="conv_pre",
-        )(mel)
+        ))(mel)
 
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
@@ -138,10 +141,10 @@ class Generator(nn.Module):
             # flax pads the stride-dilated input directly, so torch padding p maps to
             # flax padding k-1-p on both sides.
             p = k - 1 - (k - u) // 2
-            x = nn.ConvTranspose(
+            x = wn(nn.ConvTranspose(
                 ch, (k,), strides=(u,), padding=[(p, p)], transpose_kernel=True,
                 kernel_init=_norm_init(), name=f"up_{i}",
-            )(x)
+            ))(x)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
@@ -153,7 +156,7 @@ class Generator(nn.Module):
         # Reference quirk: the final leaky_relu uses torch's DEFAULT slope 0.01,
         # not LRELU_SLOPE (`models.py:111` calls F.leaky_relu with no slope arg).
         x = jax.nn.leaky_relu(x, 0.01)
-        x = nn.Conv(1, (7,), padding=[(3, 3)], kernel_init=_norm_init(), name="conv_post")(x)
+        x = wn(nn.Conv(1, (7,), padding=[(3, 3)], kernel_init=_norm_init(), name="conv_post"))(x)
         return jnp.tanh(x)[..., 0]
 
 
@@ -168,6 +171,7 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    channels: Tuple[int, ...] = (32, 128, 512, 1024)  # configurable for tiny tests
 
     @nn.compact
     def __call__(self, x):
@@ -182,12 +186,12 @@ class DiscriminatorP(nn.Module):
 
         fmap = []
         pad = _get_padding(5, 1)
-        for ch in (32, 128, 512, 1024):
+        for ch in self.channels:
             x = nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
                         padding=[(pad, pad), (0, 0)], kernel_init=_norm_init())(x)
             x = _lrelu(x)
             fmap.append(x)
-        x = nn.Conv(1024, (self.kernel_size, 1), padding=[(2, 2), (0, 0)],
+        x = nn.Conv(self.channels[-1], (self.kernel_size, 1), padding=[(2, 2), (0, 0)],
                     kernel_init=_norm_init())(x)
         x = _lrelu(x)
         fmap.append(x)
@@ -196,8 +200,20 @@ class DiscriminatorP(nn.Module):
         return x.reshape(b, -1), fmap
 
 
+_MSD_SPEC = (
+    (128, 15, 1, 1, 7), (128, 41, 2, 4, 20), (256, 41, 2, 16, 20),
+    (512, 41, 4, 16, 20), (1024, 41, 4, 16, 20), (1024, 41, 1, 16, 20),
+    (1024, 5, 1, 1, 2),
+)
+
+
 class DiscriminatorS(nn.Module):
-    """Scale discriminator (`models.py:191-216`): grouped 1-D conv stack."""
+    """Scale discriminator (`models.py:191-216`): grouped 1-D conv stack.
+
+    `spec` rows are (channels, kernel, stride, groups, pad); default = reference v1.
+    """
+
+    spec: Tuple[Tuple[int, int, int, int, int], ...] = _MSD_SPEC
 
     @nn.compact
     def __call__(self, x):
@@ -205,12 +221,7 @@ class DiscriminatorS(nn.Module):
         b = x.shape[0]
         x = x[:, :, None]
         fmap = []
-        specs = [
-            (128, 15, 1, 1, 7), (128, 41, 2, 4, 20), (256, 41, 2, 16, 20),
-            (512, 41, 4, 16, 20), (1024, 41, 4, 16, 20), (1024, 41, 1, 16, 20),
-            (1024, 5, 1, 1, 2),
-        ]
-        for ch, k, s, g, pad in specs:
+        for ch, k, s, g, pad in self.spec:
             x = nn.Conv(ch, (k,), strides=(s,), padding=[(pad, pad)],
                         feature_group_count=g, kernel_init=_norm_init())(x)
             x = _lrelu(x)
@@ -224,12 +235,13 @@ class MultiPeriodDiscriminator(nn.Module):
     """Periods 2,3,5,7,11 (`models.py:169-188`)."""
 
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    channels: Tuple[int, ...] = (32, 128, 512, 1024)
 
     @nn.compact
     def __call__(self, y, y_hat):
         outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
         for p in self.periods:
-            d = DiscriminatorP(p, name=f"p{p}")
+            d = DiscriminatorP(p, channels=self.channels, name=f"p{p}")
             o_r, f_r = d(y)
             o_g, f_g = d(y_hat)
             outs_r.append(o_r)
@@ -242,6 +254,8 @@ class MultiPeriodDiscriminator(nn.Module):
 class MultiScaleDiscriminator(nn.Module):
     """Three scales with avg-pool downsampling (`models.py:219-248`)."""
 
+    spec: Tuple[Tuple[int, int, int, int, int], ...] = _MSD_SPEC
+
     @nn.compact
     def __call__(self, y, y_hat):
         outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
@@ -249,7 +263,7 @@ class MultiScaleDiscriminator(nn.Module):
             if i != 0:
                 y = nn.avg_pool(y[:, :, None], (4,), strides=(2,), padding=[(2, 2)])[:, :, 0]
                 y_hat = nn.avg_pool(y_hat[:, :, None], (4,), strides=(2,), padding=[(2, 2)])[:, :, 0]
-            d = DiscriminatorS(name=f"s{i}")
+            d = DiscriminatorS(spec=self.spec, name=f"s{i}")
             o_r, f_r = d(y)
             o_g, f_g = d(y_hat)
             outs_r.append(o_r)

@@ -74,6 +74,7 @@ class MatchaTTS(nn.Module):
         mas_impl: str = "auto",
         durations: Optional[jnp.ndarray] = None,
         out_size: Optional[int] = None,
+        decoder_dtype: Optional[jnp.dtype] = None,
     ):
         """Training forward (`matcha_tts.py:247-325`).
 
@@ -86,6 +87,12 @@ class MatchaTTS(nn.Module):
                window of this many frames per sample (`matcha_tts.py:290-312`; dormant
                in the reference's own training config). Must be a multiple of
                2**decoder downsamples and <= Ty.
+            decoder_dtype: optional compute dtype for the U-Net estimator (mixed
+               precision): its inputs are cast to this dtype and its output upcast to
+               f32 before the MSE. Pair with bf16-cast decoder PARAMETERS (see
+               matcha_tpu/models/precision.py `mixed_precision_params`) so the
+               FLOP-dominant decoder runs on the MXU in bf16 while MAS, duration and
+               prior losses stay f32.
         Returns:
             dict(dur_loss, prior_loss, diff_loss, attn)
         """
@@ -138,9 +145,16 @@ class MatchaTTS(nn.Module):
         # Aligned condition mu_y = attn^T mu_x (`matcha_tts.py:314-315`).
         mu_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)
 
-        estimator = lambda xt, m, mu, t: self.decoder(
-            xt, m, mu, t, deterministic=deterministic
-        )
+        if decoder_dtype is None:
+            estimator = lambda xt, m, mu, t: self.decoder(
+                xt, m, mu, t, deterministic=deterministic
+            )
+        else:
+            dt = decoder_dtype
+            estimator = lambda xt, m, mu, t: self.decoder(
+                xt.astype(dt), m.astype(dt), mu.astype(dt), t,
+                deterministic=deterministic,
+            ).astype(jnp.float32)
         rng = self.make_rng("cfm") if not self.is_initializing() else jax.random.PRNGKey(0)
         diff, _ = cfm_loss(estimator, rng, y, y_mask, mu_y, sigma_min=cfg.sigma_min)
 
@@ -174,11 +188,17 @@ class MatchaTTS(nn.Module):
         y_max_length: int,
         n_timesteps: int,
         temperature: float = 1.0,
+        seq_axis: Optional[str] = None,
     ):
         """Stage 2: alignment + ODE decode at a static frame budget `y_max_length`.
 
         `y_max_length` must be a multiple of 2**decoder downsamples
         (fix_len_compatibility, `matcha_tts.py:222`).
+
+        `seq_axis`: optional mesh axis name for sequence/context parallelism
+        (SURVEY.md §2.2): mel-time of the decoder activations is shard-constrained
+        over that axis and the XLA SPMD partitioner parallelizes the U-Net
+        (halo exchanges for convs, collectives for attention) across it.
         """
         cfg = self.cfg
         y_lengths = jnp.minimum(y_lengths, y_max_length)
@@ -191,6 +211,12 @@ class MatchaTTS(nn.Module):
         ).astype(mu_x.dtype)  # (B, Tx, Ty)
 
         mu_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)
+        if seq_axis is not None:
+            from jax.lax import with_sharding_constraint
+            from jax.sharding import PartitionSpec as P
+
+            mu_y = with_sharding_constraint(mu_y, P(None, seq_axis, None))
+            y_mask = with_sharding_constraint(y_mask, P(None, seq_axis, None))
 
         estimator = lambda xt, m, mu, t: self.decoder(xt, m, mu, t, deterministic=True)
         rng = self.make_rng("noise") if not self.is_initializing() else jax.random.PRNGKey(0)
@@ -215,11 +241,13 @@ class MatchaTTS(nn.Module):
         n_timesteps: int,
         temperature: float = 1.0,
         length_scale: float = 1.0,
+        seq_axis: Optional[str] = None,
     ):
         """Fully-jitted text -> mel at a static frame budget (`matcha_tts.py:179-245`)."""
         mu_x, w_ceil, x_mask, y_lengths = self.encode_durations(x, x_lengths, length_scale)
         return self.decode_fixed(
-            mu_x, w_ceil, x_mask, y_lengths, y_max_length, n_timesteps, temperature
+            mu_x, w_ceil, x_mask, y_lengths, y_max_length, n_timesteps, temperature,
+            seq_axis=seq_axis,
         )
 
     def __call__(self, x, x_lengths, y, y_lengths):
@@ -234,10 +262,18 @@ def create_model(cfg: MatchaConfig = MatchaConfig()):
 
 
 def init_params(model: MatchaTTS, rng: jax.Array, tx: int = 16, ty: int = 32):
-    """Initialize a parameter pytree with tiny dummy shapes."""
+    """Initialize a parameter pytree with tiny dummy shapes.
+
+    Jitted: eager flax init dispatches one tiny op at a time, each paying a
+    host->device round trip (minutes through the axon TPU tunnel); a single
+    compiled init graph takes seconds.
+    """
     x = jnp.zeros((2, tx), jnp.int32)
     xl = jnp.full((2,), tx, jnp.int32)
     y = jnp.zeros((2, ty, model.cfg.n_feats), jnp.float32)
     yl = jnp.full((2,), ty, jnp.int32)
-    variables = model.init({"params": rng, "cfm": rng, "noise": rng, "dropout": rng}, x, xl, y, yl)
-    return variables["params"]
+
+    def init(r):
+        return model.init({"params": r, "cfm": r, "noise": r, "dropout": r}, x, xl, y, yl)
+
+    return jax.jit(init)(rng)["params"]

@@ -31,3 +31,15 @@ def cast_params(params, dtype=jnp.bfloat16):
 def bf16_serving(params):
     """Parameters for bf16 inference (params in bf16; feed bf16 inputs)."""
     return cast_params(params, jnp.bfloat16)
+
+
+def mixed_precision_params(params, dtype=jnp.bfloat16):
+    """Mixed-precision TRAINING view of a MatchaTTS parameter tree.
+
+    Casts only the decoder subtree (the FLOP-dominant U-Net) to `dtype` as a traced
+    op inside the loss function — master parameters stay f32 in the optimizer, and
+    gradients flow back through the cast (its transpose is the cast back to f32).
+    The encoder, MAS scoring, and all losses keep f32 numerics. Pair with
+    `compute_losses(..., decoder_dtype=dtype)` which casts the decoder's inputs.
+    """
+    return {**params, "decoder": cast_params(params["decoder"], dtype)}

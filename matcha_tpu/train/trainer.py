@@ -50,6 +50,9 @@ class TrainConfig:
     seed: int = 0
     mas_impl: str = "auto"
     log_grad_norm: bool = True
+    # "fp32" = reference-parity "32-true"; "bf16" = mixed precision (bf16 U-Net
+    # fwd/bwd on the MXU, f32 master weights / MAS / losses / optimizer).
+    precision: str = "fp32"
 
 
 def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
@@ -85,13 +88,20 @@ def total_loss(losses: dict) -> jnp.ndarray:
 def make_train_step(model: MatchaTTS, tx: optax.GradientTransformation, train_cfg: TrainConfig):
     """Build the jitted (params, opt_state, batch, rng) -> updated state + metrics step."""
 
+    bf16 = train_cfg.precision == "bf16"
+
     def loss_fn(params, batch, rng):
         rng_cfm, rng_drop = jax.random.split(rng)
+        if bf16:
+            from matcha_tpu.models.precision import mixed_precision_params
+
+            params = mixed_precision_params(params)
         out = model.apply(
             {"params": params},
             batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"],
             deterministic=False,
             mas_impl=train_cfg.mas_impl,
+            decoder_dtype=jnp.bfloat16 if bf16 else None,
             method=MatchaTTS.compute_losses,
             rngs={"cfm": rng_cfm, "dropout": rng_drop},
         )

@@ -98,3 +98,64 @@ def test_bf16_single_network_calls_close_to_fp32():
     )
     assert o16.dtype == jnp.bfloat16
     assert rel(o32, o16) < 0.05
+
+
+def test_mixed_precision_training_step():
+    """bf16 mixed-precision train step: finite, learns, f32 master weights."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from matcha_tpu.models.matcha import MatchaTTS, init_params
+    from matcha_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step
+    from tests.test_train import TINY, _tiny_batch
+
+    model = MatchaTTS(TINY)
+    params = init_params(model, jax.random.PRNGKey(0), tx=8, ty=16)
+    cfg = TrainConfig(accumulate_steps=1, mas_impl="ref", precision="bf16",
+                      log_grad_norm=True)
+    tx = make_optimizer(cfg, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, cfg)
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch().items()}
+
+    losses = []
+    for _ in range(8):
+        params, opt_state, metrics = step(params, opt_state, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+    # master weights stay f32
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params)
+               if jnp.issubdtype(p.dtype, jnp.floating))
+
+
+def test_mixed_precision_loss_close_to_fp32():
+    """The bf16-decoder loss value stays within bf16 tolerance of the f32 loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from matcha_tpu.models.matcha import MatchaTTS, init_params
+    from matcha_tpu.models.precision import mixed_precision_params
+    from tests.test_train import TINY, _tiny_batch
+
+    model = MatchaTTS(TINY)
+    params = init_params(model, jax.random.PRNGKey(0), tx=8, ty=16)
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch().items()}
+
+    def losses(params, decoder_dtype):
+        out = model.apply(
+            {"params": params}, batch["x"], batch["x_lengths"], batch["y"],
+            batch["y_lengths"], deterministic=True, mas_impl="ref",
+            decoder_dtype=decoder_dtype, method=MatchaTTS.compute_losses,
+            rngs={"cfm": jax.random.PRNGKey(3)},
+        )
+        return {k: float(out[k]) for k in ("dur_loss", "prior_loss", "diff_loss")}
+
+    f32 = losses(params, None)
+    b16 = losses(mixed_precision_params(params), jnp.bfloat16)
+    # dur/prior don't touch the decoder: bit-identical
+    assert f32["dur_loss"] == b16["dur_loss"]
+    assert f32["prior_loss"] == b16["prior_loss"]
+    np.testing.assert_allclose(b16["diff_loss"], f32["diff_loss"], rtol=0.05)

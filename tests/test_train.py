@@ -172,3 +172,22 @@ def test_trainer_fit_smoke(tmp_path):
     trainer2 = Trainer(model_cfg=TINY, train_cfg=train_cfg, data_cfg=data_cfg, mesh=mesh)
     params2, _, step2 = trainer2.fit(train_ds, val_ds, max_epochs=3, resume=True)
     assert step2 == 6  # one more epoch only
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_tp_equals_single_device_loss():
+    """Tensor-parallel (model=2) sharded loss == unsharded loss (the '--tp 2' flip)."""
+    model = MatchaTTS(TINY)
+    params = init_params(model, jax.random.PRNGKey(0), tx=8, ty=16)
+    cfg = TrainConfig(accumulate_steps=1, mas_impl="ref")
+    eval_step = make_eval_step(model, cfg)
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch(4).items()}
+    base = eval_step(params, batch, jax.random.PRNGKey(5))
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    with mesh:
+        sp = shard_params(mesh, params)  # megatron TP rules + DP replication
+        sb = jax.device_put(batch, batch_sharding(mesh))
+        sharded = eval_step(sp, sb, jax.random.PRNGKey(5))
+    for k in base:
+        np.testing.assert_allclose(float(base[k]), float(sharded[k]), rtol=2e-5, err_msg=k)

@@ -1,0 +1,82 @@
+"""Vocoder GAN training tests: fused step correctness + trainer fit/resume smoke.
+
+The reference ships HiFi-GAN discriminators and losses without a training loop
+(`/root/reference/hifi_gan/models.py:128-283`); these tests cover the on-chip GAN step
+(`matcha_tpu/train/vocoder.py`) at tiny model sizes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matcha_tpu.audio.mel import MelConfig
+from matcha_tpu.data.audio_dataset import AudioDataConfig, SyntheticWavDataset
+from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
+from matcha_tpu.train.vocoder import (
+    Discriminators,
+    VocoderTrainConfig,
+    VocoderTrainer,
+    make_optimizers,
+    make_vocoder_eval,
+    make_vocoder_step,
+)
+
+SEG = 2048  # 8 mel frames at hop 256
+TINY_GEN = HiFiGANConfig(upsample_initial_channel=16)
+TINY_DISC = Discriminators(
+    mpd_channels=(4, 8),
+    msd_spec=((8, 15, 1, 1, 7), (8, 41, 4, 4, 20), (8, 5, 1, 1, 2)),
+)
+MEL = MelConfig()
+
+
+def _init(gen, disc, cfg, steps_per_epoch=4):
+    rng = jax.random.PRNGKey(0)
+    gen_p = gen.init(rng, jnp.zeros((1, SEG // 256, 80)))["params"]
+    disc_p = disc.init(rng, jnp.zeros((1, SEG)), jnp.zeros((1, SEG)))["params"]
+    tx_g, tx_d = make_optimizers(cfg, steps_per_epoch)
+    return gen_p, disc_p, tx_g.init(gen_p), tx_d.init(disc_p), tx_g, tx_d
+
+
+def test_gan_step_updates_and_is_finite():
+    cfg = VocoderTrainConfig()
+    gen = Generator(TINY_GEN, weight_norm=True)
+    gen_p, disc_p, g_opt, d_opt, tx_g, tx_d = _init(gen, TINY_DISC, cfg)
+    step = make_vocoder_step(gen, TINY_DISC, tx_g, tx_d, cfg, MEL)
+
+    ds = SyntheticWavDataset(n_items=4, segment_size=SEG)
+    y = jnp.asarray(np.stack([ds.get_segment(i, np.random.default_rng(0)) for i in range(2)]))
+
+    gen_p0 = jax.tree.map(lambda a: np.asarray(a).copy(), gen_p)
+    metrics = None
+    for _ in range(2):
+        gen_p, disc_p, g_opt, d_opt, metrics = step(gen_p, disc_p, g_opt, d_opt, y)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    # generator parameters actually moved
+    moved = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()), gen_p, gen_p0)
+    assert max(jax.tree.leaves(moved)) > 0
+
+    # eval metric is a finite mel L1
+    ev = make_vocoder_eval(gen, MEL)
+    assert np.isfinite(float(ev(gen_p, y)))
+
+
+def test_vocoder_trainer_fit_and_resume(tmp_path):
+    cfg = VocoderTrainConfig(max_epochs=1, ckpt_dir=str(tmp_path / "ck"), log_every=1)
+    data_cfg = AudioDataConfig(batch_size=2, segment_size=SEG)
+    train_ds = SyntheticWavDataset(n_items=4, segment_size=SEG)
+    val_ds = SyntheticWavDataset(n_items=2, segment_size=SEG, seed=1)
+
+    from matcha_tpu.parallel import make_mesh
+
+    mesh = make_mesh(devices=jax.devices()[:2])  # batch 2 shards over 2 devices
+    trainer = VocoderTrainer(TINY_GEN, cfg, data_cfg, MEL, mesh=mesh, disc=TINY_DISC)
+    _, _, step = trainer.fit(train_ds, val_ds, max_epochs=1)
+    assert step == 2  # 4 items / batch 2
+    assert (tmp_path / "ck" / "logs" / "metrics.jsonl").exists()
+
+    # auto-resume continues from the saved step
+    trainer2 = VocoderTrainer(TINY_GEN, cfg, data_cfg, MEL, mesh=mesh, disc=TINY_DISC)
+    _, _, step2 = trainer2.fit(train_ds, val_ds, max_epochs=2)
+    assert step2 == 4

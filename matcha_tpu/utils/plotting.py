@@ -30,6 +30,24 @@ def plot_tensor(tensor) -> np.ndarray:
     return data
 
 
+def plot_spectrogram(spectrogram):
+    """(C, T) array -> matplotlib Figure (mirrors `utils/utils.py:10-26`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 2))
+    im = ax.imshow(np.asarray(spectrogram), aspect="auto", origin="lower",
+                   interpolation="none")
+    plt.colorbar(im, ax=ax)
+    plt.xlabel("Frames")
+    plt.ylabel("Channels")
+    plt.tight_layout()
+    fig.canvas.draw()
+    return fig
+
+
 def save_mel_png(log_mel, path, title="Mel Spectrogram"):
     """Save a dB-scaled mel image (mirrors `generate.py:125-152`)."""
     import matplotlib

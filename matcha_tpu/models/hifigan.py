@@ -160,6 +160,49 @@ class Generator(nn.Module):
         return jnp.tanh(x)[..., 0]
 
 
+def fold_weight_norm(params):
+    """Fold WeightNorm scales into plain kernels for inference deployment.
+
+    Parity of the reference's `remove_weight_norm()` (`hifi_gan/models.py:118-125`):
+    maps a `Generator(weight_norm=True)` parameter tree (as trained by
+    matcha_tpu.train.vocoder.VocoderTrainer) onto the `Generator(weight_norm=False)`
+    layout. flax `nn.WeightNorm` stores the direction kernel v at the wrapped conv's
+    own path and a per-feature `'<path>/kernel/scale'` entry in a sibling
+    `WeightNorm_*` scope; the folded kernel is
+
+        w = scale * v / ||v||   (L2 norm over all non-feature axes, per output
+                                 feature — flax feature_axes=-1 semantics)
+
+    and the WeightNorm scopes are dropped.
+    """
+    from collections.abc import Mapping
+
+    def fold(node):
+        if not isinstance(node, Mapping):
+            return node
+        out = {k: fold(v) for k, v in node.items() if not k.startswith("WeightNorm_")}
+        for k, wn_scope in node.items():
+            if not k.startswith("WeightNorm_"):
+                continue
+            for name, scale in wn_scope.items():
+                parts = name.split("/")  # e.g. 'conv_pre/kernel/scale'
+                if parts[-1] != "scale":
+                    raise ValueError(f"unexpected WeightNorm entry: {name}")
+                tgt = out
+                for p in parts[:-2]:
+                    tgt = tgt[p]
+                v = tgt[parts[-2]]
+                # exact flax semantics: v * rsqrt(sum(v^2) + eps), eps = 1e-12
+                norm = jnp.sqrt(
+                    jnp.sum(jnp.square(v.astype(jnp.float32)),
+                            axis=tuple(range(v.ndim - 1)), keepdims=True) + 1e-12
+                )
+                tgt[parts[-2]] = (v.astype(jnp.float32) * (scale.astype(jnp.float32) / norm)).astype(v.dtype)
+        return out
+
+    return fold(params)
+
+
 # --------------------------------------------------------------------------- #
 # Discriminators (vocoder training; inference-unused in the reference as well)
 # --------------------------------------------------------------------------- #

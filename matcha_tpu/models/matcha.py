@@ -81,7 +81,8 @@ class MatchaTTS(nn.Module):
         Args:
             x: (B, Tx) token ids; x_lengths: (B,).
             y: (B, Ty, n_feats) target log-mel; y_lengths: (B,). Ty must be a multiple
-               of 2**decoder downsamples.
+               of 2**decoder downsamples. Per sample, y_lengths >= x_lengths is a MAS
+               precondition (enforced at collate time — see ops.maximum_path).
             durations: optional precomputed (B, Tx) durations (skips MAS).
             out_size: optional static crop length — the decoder trains on a random
                window of this many frames per sample (`matcha_tts.py:290-312`; dormant

@@ -30,6 +30,12 @@ def maximum_path(value, mask, impl: str = "auto"):
     """Batch monotonic alignment search.
 
     impl: 'auto' (Pallas on TPU, scan elsewhere), 'pallas', 'ref', or 'cpp'.
+
+    Precondition (all impls): per sample, the masked mel length must be >= the masked
+    text length (`t_y >= t_x`) — a monotonic path where every token claims >= 1 frame
+    cannot exist otherwise and the DP backtrack silently degenerates. The data
+    pipeline enforces this at collate time (matcha_tpu/data/dataset.py::collate);
+    callers feeding hand-built masks must uphold it themselves.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "ref"

@@ -56,11 +56,12 @@ def ring_attention(q, k, v, bias, axis_name: str, scale=None):
 
     b, h, tq, d = q.shape
     acc_dtype = jnp.promote_types(q.dtype, jnp.float32)
-    # pvary: the accumulators are per-shard state (device-varying over the ring
-    # axis); shard_map's varying-axis checker rejects invariant-constant carries.
-    m0 = lax.pvary(jnp.full((b, h, tq), -jnp.inf, acc_dtype), (axis_name,))
-    l0 = lax.pvary(jnp.zeros((b, h, tq), acc_dtype), (axis_name,))
-    o0 = lax.pvary(jnp.zeros((b, h, tq, d), acc_dtype), (axis_name,))
+    # pcast to 'varying': the accumulators are per-shard state (device-varying over
+    # the ring axis); shard_map's varying-axis checker rejects invariant carries.
+    vary = lambda a: lax.pcast(a, (axis_name,), to="varying")
+    m0 = vary(jnp.full((b, h, tq), -jnp.inf, acc_dtype))
+    l0 = vary(jnp.zeros((b, h, tq), acc_dtype))
+    o0 = vary(jnp.zeros((b, h, tq, d), acc_dtype))
 
     def body(i, carry):
         k_blk, v_blk, bias_blk, m, l, o = carry

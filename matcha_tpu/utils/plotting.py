@@ -9,10 +9,13 @@ import numpy as np
 
 
 def plot_tensor(tensor) -> np.ndarray:
-    """(C, T) array -> (H, W, 3) uint8 RGB image for TensorBoard."""
-    import matplotlib
+    """(C, T) array -> (H, W, 3) uint8 RGB image for TensorBoard.
 
-    matplotlib.use("Agg")
+    Backend note: figures here are rendered off-screen via the canvas buffer and
+    closed before returning; no global `matplotlib.use(...)` switch is performed
+    (modern matplotlib falls back to Agg by itself on headless hosts, and forcing
+    it would silently break inline rendering in notebooks).
+    """
     import matplotlib.pyplot as plt
 
     arr = np.asarray(tensor)
@@ -31,10 +34,11 @@ def plot_tensor(tensor) -> np.ndarray:
 
 
 def plot_spectrogram(spectrogram):
-    """(C, T) array -> matplotlib Figure (mirrors `utils/utils.py:10-26`)."""
-    import matplotlib
+    """(C, T) array -> matplotlib Figure (mirrors `utils/utils.py:10-26`).
 
-    matplotlib.use("Agg")
+    The caller owns the returned Figure and must `plt.close(fig)` after use
+    (e.g. in a logging loop) to avoid accumulating open figures.
+    """
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(10, 2))
@@ -50,9 +54,6 @@ def plot_spectrogram(spectrogram):
 
 def save_mel_png(log_mel, path, title="Mel Spectrogram"):
     """Save a dB-scaled mel image (mirrors `generate.py:125-152`)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     data = np.asarray(log_mel)

@@ -64,7 +64,35 @@ def main():
             out / "val_losses.csv", index=False
         )
     df.to_csv(out / "all_metrics.csv", index=False)
-    print(f"wrote {out}/loss_curves.png and CSVs ({len(df)} rows)")
+
+    # Per-epoch aggregation + epoch-axis curves (parity of the reference's
+    # step->epoch mapping and per-epoch CSV, `analyze_training.py:84-87,135-192`).
+    # The trainer logs the epoch directly; older logs fall back to deriving it from
+    # the running count of val rows (one per epoch).
+    if "epoch" not in df.columns:
+        is_val = df[val_cols[0]].notna() if val_cols else pd.Series(False, index=df.index)
+        df["epoch"] = is_val[::-1].cumsum()[::-1]
+        df["epoch"] = df["epoch"].max() - df["epoch"]
+    loss_cols = [c for c in df.columns
+                 if c.split("/")[-1] in ("dur_loss", "prior_loss", "diff_loss", "loss")]
+    per_epoch = df.groupby("epoch")[loss_cols].mean()
+    per_epoch.to_csv(out / "epoch_losses.csv")
+
+    fig, axes = plt.subplots(2, 2, figsize=(14, 8))
+    for ax, name in zip(axes.flat, losses):
+        for prefix, style in (("train/", "-"), ("val/", "--")):
+            col = prefix + name
+            if col in per_epoch.columns:
+                sub = per_epoch[col].dropna()
+                ax.plot(sub.index, sub.values, style, label=col)
+        ax.set_title(name)
+        ax.set_xlabel("epoch")
+        ax.legend()
+        ax.grid(alpha=0.3)
+    plt.tight_layout()
+    plt.savefig(out / "loss_curves_epoch.png", dpi=150)
+    print(f"wrote {out}/loss_curves.png, loss_curves_epoch.png and CSVs "
+          f"({len(df)} rows, {len(per_epoch)} epochs)")
 
 
 if __name__ == "__main__":

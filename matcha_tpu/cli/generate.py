@@ -9,7 +9,8 @@ Euler sampler, and reconstructs audio.
 Usage:
     python -m matcha_tpu.cli.generate --text "Hello" [--vocoder griffin_lim|hifigan]
         [--ckpt-dir checkpoints] [--torch-ckpt matcha_final.ckpt]
-        [--hifigan-ckpt generator_v1] [--steps 50] [--out-dir generated_audio]
+        [--hifigan-ckpt generator_v1 | --vocoder-ckpt-dir checkpoints_vocoder]
+        [--steps 50] [--out-dir generated_audio]
 """
 
 import argparse
@@ -40,7 +41,9 @@ def load_params(args, model):
         raise FileNotFoundError(
             f"no checkpoint found in {args.ckpt_dir}; train first or pass --torch-ckpt"
         )
-    restored = store._ckptr.restore(Path(entry["path"]), {"params": params, "opt_state": None})
+    # template-free restore (skips materializing an opt_state template; the saved
+    # topology is the trainer's {"params", "opt_state"} tree)
+    restored = store._ckptr.restore(Path(entry["path"]))
     return restored["params"]
 
 
@@ -55,6 +58,9 @@ def main():
     ap.add_argument("--torch-ckpt", default=None)
     ap.add_argument("--hifigan-ckpt", default=None,
                     help="torch generator_v1 checkpoint for the hifigan vocoder")
+    ap.add_argument("--vocoder-ckpt-dir", default=None,
+                    help="Orbax checkpoint dir from train_vocoder (weight norm is "
+                         "folded for serving)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--length-scale", type=float, default=1.0)
@@ -95,7 +101,9 @@ def main():
     n_frames = int(out["mel_lengths"][0])
     mel = mel[:, :n_frames, :]
     wall = time.perf_counter() - t0
-    rtf = wall * 22050 / (n_frames * 256)
+    from matcha_tpu.utils.profiling import rtf as compute_rtf
+
+    rtf = compute_rtf(wall, n_frames)
     print(f"mel: {mel.shape}, rtf={rtf:.3f}")
 
     log_mel_cf = jnp.asarray(mel.transpose(0, 2, 1))  # (1, 80, T) channels-first
@@ -112,8 +120,15 @@ def main():
             from matcha_tpu.compat.torch_import import load_hifigan_torch_checkpoint
 
             gparams = load_hifigan_torch_checkpoint(args.hifigan_ckpt)
+        elif args.vocoder_ckpt_dir:
+            from matcha_tpu.train.vocoder import load_generator_for_inference
+
+            gparams = load_generator_for_inference(args.vocoder_ckpt_dir)
         else:
-            raise SystemExit("--hifigan-ckpt is required for the hifigan vocoder")
+            raise SystemExit(
+                "the hifigan vocoder needs --hifigan-ckpt (torch generator_v1) or "
+                "--vocoder-ckpt-dir (a train_vocoder checkpoint)"
+            )
         wav = np.asarray(gen.apply({"params": gparams}, jnp.asarray(mel)))
         wav = np.clip(wav, -1.0, 1.0)
 

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
                     help="bf16 = mixed precision (bf16 U-Net, f32 master weights)")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of steps 2-4 into DIR "
+                         "(open in Perfetto or TensorBoard's profile tab)")
     args = ap.parse_args()
 
     from matcha_tpu.data.dataset import DataConfig, SyntheticDataset, TextMelDataset
@@ -51,7 +54,8 @@ def main():
 
     trainer = Trainer(
         train_cfg=TrainConfig(ckpt_dir=args.ckpt_dir, max_epochs=args.max_epochs,
-                              mas_impl=args.mas_impl, precision=args.precision),
+                              mas_impl=args.mas_impl, precision=args.precision,
+                              profile_dir=args.profile),
         data_cfg=DataConfig(batch_size=args.batch_size),
         mesh=make_mesh(model=args.tp),
     )

@@ -95,17 +95,23 @@ def wav_batch_iterator(
     process_count: int = 1,
     drop_last: bool = True,
 ) -> Iterator[np.ndarray]:
-    """Static-shape (batch, segment_size) float32 batches, per-host sharded."""
+    """Static-shape (batch, segment_size) float32 batches, globally synchronized.
+
+    Every process computes the same global batch schedule (seeded permutation into
+    buckets of `batch_size * process_count` indices, short tail wrap-padded) and
+    loads only its `[process_index::process_count]` slice — identical batch counts
+    and shapes on all hosts, assembled into one global array by the trainer.
+    """
     order = np.arange(len(ds))
     rng = np.random.default_rng(cfg.shuffle_seed + epoch)
     if shuffle:
         rng.shuffle(order)
-    order = order[process_index::process_count]
-    bs = cfg.batch_size
-    for i in range(0, len(order), bs):
-        idxs = order[i : i + bs]
-        if len(idxs) < bs:
+    gbs = cfg.batch_size * process_count
+    for i in range(0, len(order), gbs):
+        idxs = order[i : i + gbs]
+        if len(idxs) < gbs:
             if drop_last:
                 return
-            idxs = np.concatenate([idxs, order[: bs - len(idxs)]])
-        yield np.stack([ds.get_segment(int(j), rng) for j in idxs])
+            idxs = np.tile(idxs, -(-gbs // len(idxs)))[:gbs]
+        local = idxs[process_index::process_count]
+        yield np.stack([ds.get_segment(int(j), rng) for j in local])

@@ -95,6 +95,10 @@ class TextMelDataset:
         samples = max((size - 44) // 2, 1)
         return num_frames(self.mel_cfg, samples)
 
+    def text_length(self, idx: int) -> int:
+        """Token count without touching audio (cheap: tokenization only)."""
+        return len(train_text_to_sequence(self.items[idx][1]))
+
 
 class SyntheticDataset:
     """Deterministic speech-shaped data with the TextMelDataset interface."""
@@ -122,11 +126,17 @@ class SyntheticDataset:
         rng = np.random.default_rng(self.seed * 100003 + idx)
         return int(rng.integers(self.min_frames, self.max_frames + 1))
 
+    def text_length(self, idx: int) -> int:
+        text = self._SENTENCES[idx % len(self._SENTENCES)]
+        return min(len(train_text_to_sequence(text)), self.mel_length(idx))
+
     def get(self, idx: int) -> dict:
         rng = np.random.default_rng(self.seed * 100003 + idx)
         t = int(rng.integers(self.min_frames, self.max_frames + 1))
         text = self._SENTENCES[idx % len(self._SENTENCES)]
-        ids = np.asarray(train_text_to_sequence(text), dtype=np.int32)
+        # crop text to <= mel frames so every example satisfies the MAS
+        # precondition (mel_frames >= text_tokens) at any min_frames setting
+        ids = np.asarray(train_text_to_sequence(text), dtype=np.int32)[:t]
         # smooth low-rank "mel": random walk over time x fixed spectral envelopes
         k = 6
         env = rng.standard_normal((k, self.mel_cfg.n_mels)).astype(np.float32)
@@ -139,13 +149,38 @@ def _round_up(v, m):
     return ((v + m - 1) // m) * m
 
 
-def collate(items: List[dict], cfg: DataConfig) -> dict:
-    """Pad a list of examples to static bucketed shapes."""
+def pad_shapes(cfg: DataConfig, max_text: int, max_mel: int) -> Tuple[int, int]:
+    """(Tx, Ty) static pad shapes for a batch with the given raw max lengths."""
+    tx = min(_round_up(max_text, cfg.text_pad_multiple), cfg.max_text_len)
+    ty_raw = min(_round_up(max_mel, cfg.mel_pad_multiple), cfg.max_mel_len)
+    return tx, fix_len_compatibility(ty_raw)
+
+
+def collate(items: List[dict], cfg: DataConfig, shape: Optional[Tuple[int, int]] = None) -> dict:
+    """Pad a list of examples to static bucketed shapes.
+
+    `shape`: optional explicit (Tx, Ty) pad shape. Multi-host training passes the
+    GLOBAL batch's shape here so every process collates to identical static shapes
+    (a prerequisite for assembling per-host shards into one global array — different
+    shapes would mean different compiled graphs per host and a collective deadlock).
+
+    Guards the MAS precondition `mel_frames >= text_tokens` per sample: a monotonic
+    alignment in which every token claims at least one frame cannot exist otherwise,
+    and every MAS implementation would silently produce a garbage path (the reference
+    has the same latent flaw, unguarded — `monotonic_align/__init__.py:40`).
+    """
     xs = [it["x"][: cfg.max_text_len] for it in items]
     ys = [it["y"][: cfg.max_mel_len] for it in items]
-    tx = min(_round_up(max(len(x) for x in xs), cfg.text_pad_multiple), cfg.max_text_len)
-    ty_raw = min(_round_up(max(y.shape[0] for y in ys), cfg.mel_pad_multiple), cfg.max_mel_len)
-    ty = fix_len_compatibility(ty_raw)
+    for i, (xi, yi) in enumerate(zip(xs, ys)):
+        if yi.shape[0] < len(xi):
+            raise ValueError(
+                f"sample {i}: mel has {yi.shape[0]} frames but text has {len(xi)} "
+                "tokens; monotonic alignment requires mel_frames >= text_tokens "
+                "(filter or re-crop the example)"
+            )
+    if shape is None:
+        shape = pad_shapes(cfg, max(len(x) for x in xs), max(y.shape[0] for y in ys))
+    tx, ty = shape
     n_mels = ys[0].shape[1]
 
     b = len(items)
@@ -171,30 +206,50 @@ def batch_iterator(
     process_count: int = 1,
     drop_last: bool = True,
 ) -> Iterator[dict]:
-    """Length-bucketed batches padded to static shapes; per-host sharded.
+    """Length-bucketed batches padded to static shapes; globally synchronized.
 
-    Examples are shuffled, sorted into length-similar pools of batch_size so each batch
-    pads to a tight bucket (bounded padded-FLOP waste), then batch order is shuffled.
+    Multi-host design: every process computes the SAME global batch schedule (same
+    seed -> same permutation -> same buckets of `batch_size * process_count` items,
+    same static pad shapes from index-only length metadata), then loads only its own
+    `[process_index::process_count]` slice of each batch. Every host therefore steps
+    through identical batch counts and identical compiled shapes — the per-batch loss
+    under SPMD is a *global* value, so logged/ranked val metrics agree on all hosts
+    (the reference's `sync_dist=True` intent, `baselightningmodule.py:123-202`).
+
+    Examples are shuffled, sorted into length-similar pools so each batch pads to a
+    tight bucket (bounded padded-FLOP waste), then batch order is shuffled. With
+    `drop_last=False` the final short batch is wrap-padded by cycling its own items
+    so shapes stay static (standard eval-padding; duplicates keep mask weighting).
     """
     n = len(dataset)
+    global_bs = cfg.batch_size * process_count
     rng = np.random.default_rng(cfg.shuffle_seed * 1_000_003 + epoch)
     order = rng.permutation(n) if shuffle else np.arange(n)
-    order = order[process_index::process_count]
 
     # sort by cached/estimated mel length within a window to build tight buckets
     lengths = np.array([dataset.mel_length(i) for i in order])
-    window = cfg.batch_size * 16
+    window = global_bs * 16
     buckets = []
     for start in range(0, len(order), window):
         chunk = order[start : start + window]
         lens = lengths[start : start + window]
         chunk = chunk[np.argsort(lens, kind="stable")]
-        for bstart in range(0, len(chunk), cfg.batch_size):
-            batch_idx = chunk[bstart : bstart + cfg.batch_size]
-            if drop_last and len(batch_idx) < cfg.batch_size:
-                continue
+        for bstart in range(0, len(chunk), global_bs):
+            batch_idx = chunk[bstart : bstart + global_bs]
+            if len(batch_idx) < global_bs:
+                if drop_last:
+                    continue
+                reps = -(-global_bs // len(batch_idx))  # wrap-pad by cycling
+                batch_idx = np.tile(batch_idx, reps)[:global_bs]
             buckets.append(batch_idx)
     if shuffle:
         rng.shuffle(buckets)
     for batch_idx in buckets:
-        yield collate([dataset.get(int(i)) for i in batch_idx], cfg)
+        # static shape from the GLOBAL batch (identical on every host, no audio I/O)
+        shape = pad_shapes(
+            cfg,
+            max(dataset.text_length(int(i)) for i in batch_idx),
+            max(dataset.mel_length(int(i)) for i in batch_idx),
+        )
+        local_idx = batch_idx[process_index::process_count]
+        yield collate([dataset.get(int(i)) for i in local_idx], cfg, shape=shape)

@@ -7,6 +7,7 @@ from matcha_tpu.parallel.mesh import (
     batch_spec,
     init_distributed,
     make_mesh,
+    put_global_batch,
     replicated,
 )
 from matcha_tpu.parallel.sharding import param_shardings, param_spec, shard_params
@@ -18,6 +19,7 @@ __all__ = [
     "batch_sharding",
     "batch_spec",
     "replicated",
+    "put_global_batch",
     "init_distributed",
     "param_shardings",
     "param_spec",

@@ -50,3 +50,21 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_global_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a per-host batch shard onto the mesh as a batch-sharded global array.
+
+    Single-process: a plain `device_put` (the local batch IS the global batch).
+    Multi-process: each host holds only its `[process_index::process_count]` slice of
+    the global batch (matcha_tpu.data.dataset.batch_iterator's contract), so the
+    global array is assembled from per-process shards with
+    `jax.make_array_from_process_local_data` — the global batch dimension becomes
+    `local_batch * process_count`, sharded over the mesh's 'data' axis.
+    """
+    shard = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, shard)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(shard, np.asarray(a)), batch
+    )

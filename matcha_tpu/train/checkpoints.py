@@ -32,18 +32,27 @@ class CheckpointStore:
         self._index_path.write_text(json.dumps(self._index, indent=1))
 
     def save(self, step: int, epoch: int, params: Any, opt_state: Any, val_loss: float):
+        """Save a checkpoint. Multi-host: EVERY process must call this (Orbax
+        coordinates the distributed write and barriers internally); the index file,
+        pre-existing-dir cleanup, and GC are performed by process 0 only."""
         path = self.root / f"step_{step:09d}"
-        if path.exists():
+        primary = jax.process_index() == 0
+        if primary and path.exists():
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_pre_save_{step}")
         self._ckptr.save(path, {"params": params, "opt_state": opt_state})
         self._ckptr.wait_until_finished()
         self._index["entries"].append(
             {"step": step, "epoch": epoch, "val_loss": float(val_loss), "path": str(path)}
         )
-        self._gc()
-        self._write_index()
+        self._gc(do_io=primary)
+        if primary:
+            self._write_index()
 
-    def _gc(self):
+    def _gc(self, do_io: bool = True):
         """Keep the top-k by val loss plus the most recent entry."""
         entries = self._index["entries"]
         if not entries:
@@ -57,7 +66,7 @@ class CheckpointStore:
                 kept.append(e)
             else:
                 p = Path(e["path"])
-                if p.exists():
+                if do_io and p.exists():
                     shutil.rmtree(p)
         self._index["entries"] = kept
 

@@ -31,7 +31,7 @@ import optax
 
 from matcha_tpu.data.dataset import DataConfig, batch_iterator
 from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
-from matcha_tpu.parallel import batch_sharding, make_mesh, param_shardings, shard_params
+from matcha_tpu.parallel import make_mesh, param_shardings, put_global_batch, shard_params
 
 
 @dataclass(frozen=True)
@@ -53,6 +53,9 @@ class TrainConfig:
     # "fp32" = reference-parity "32-true"; "bf16" = mixed precision (bf16 U-Net
     # fwd/bwd on the MXU, f32 master weights / MAS / losses / optimizer).
     precision: str = "fp32"
+    # when set, capture a jax.profiler trace (Perfetto/TensorBoard-viewable) of a few
+    # post-compile steps of the first trained epoch into this directory
+    profile_dir: Optional[str] = None
 
 
 def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
@@ -140,14 +143,20 @@ def make_eval_step(model: MatchaTTS, train_cfg: TrainConfig):
 
 
 class MetricLogger:
-    """JSONL metric stream + optional TensorBoard mirror."""
+    """JSONL metric stream + optional TensorBoard mirror.
+
+    Multi-host: rank 0 owns `metrics.jsonl` and TensorBoard; other ranks write
+    `metrics_rank{i}.jsonl` (same shared filesystem, no interleaving) — which also
+    makes cross-host metric agreement directly auditable."""
 
     def __init__(self, log_dir, use_tensorboard: bool = True):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
-        self.jsonl = open(self.log_dir / "metrics.jsonl", "a")
+        rank = jax.process_index()
+        name = "metrics.jsonl" if rank == 0 else f"metrics_rank{rank}.jsonl"
+        self.jsonl = open(self.log_dir / name, "a")
         self.tb = None
-        if use_tensorboard:
+        if use_tensorboard and rank == 0:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -155,8 +164,10 @@ class MetricLogger:
             except Exception:
                 self.tb = None
 
-    def log(self, step: int, metrics: dict, prefix: str = ""):
+    def log(self, step: int, metrics: dict, prefix: str = "", epoch: Optional[int] = None):
         row = {"step": step, "time": time.time()}
+        if epoch is not None:
+            row["epoch"] = int(epoch)  # direct step->epoch mapping for cli.analyze
         for k, v in metrics.items():
             key = f"{prefix}{k}"
             row[key] = float(v)
@@ -221,31 +232,53 @@ class Trainer:
 
         train_step = make_train_step(self.model, tx, cfg)
         eval_step = make_eval_step(self.model, cfg)
-        data_shard = batch_sharding(self.mesh)
         rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        from matcha_tpu.utils.profiling import StepTimer, trace
+
+        epoch_timer = StepTimer()
+        steps_done = 0  # steps executed this fit() call (profiling skips compile steps)
 
         with self.mesh:
             for epoch in range(start_epoch, max_epochs):
-                t0 = time.time()
-                for batch in batch_iterator(
-                    train_ds, self.data_cfg, epoch=epoch,
-                    process_index=jax.process_index(), process_count=jax.process_count(),
-                ):
-                    batch = jax.device_put(batch, data_shard)
-                    rng, step_rng = jax.random.split(rng)
-                    params, opt_state, metrics = train_step(params, opt_state, batch, step_rng)
-                    if step % cfg.log_every == 0:
-                        self.logger.log(step, metrics, prefix="train/")
-                    step += 1
+                metrics = None
+                with epoch_timer.measure() as epoch_out:
+                    for batch in batch_iterator(
+                        train_ds, self.data_cfg, epoch=epoch,
+                        process_index=jax.process_index(), process_count=jax.process_count(),
+                    ):
+                        batch = put_global_batch(self.mesh, batch)
+                        rng, step_rng = jax.random.split(rng)
+                        if cfg.profile_dir is not None and steps_done == 2:
+                            # steps 2-4: past the first-compile wall, inside steady state
+                            with trace(cfg.profile_dir):
+                                params, opt_state, metrics = train_step(
+                                    params, opt_state, batch, step_rng
+                                )
+                                jax.block_until_ready(metrics)
+                        else:
+                            params, opt_state, metrics = train_step(
+                                params, opt_state, batch, step_rng
+                            )
+                        if step % cfg.log_every == 0:
+                            self.logger.log(step, metrics, prefix="train/", epoch=epoch)
+                        step += 1
+                        steps_done += 1
+                    if metrics is not None:
+                        epoch_out["result"] = metrics
 
-                # validation
+                # Validation. batch_iterator's schedule is globally synchronized (same
+                # batches/shapes/count on every host) and each per-batch loss under
+                # SPMD is a mean over the GLOBAL batch — so `agg` is identical on all
+                # hosts and rank 0's checkpoint ranking uses cross-host-correct values
+                # (reference `sync_dist=True` intent, `baselightningmodule.py:164-202`).
                 val_metrics = []
                 for batch in batch_iterator(
                     val_ds, self.data_cfg, epoch=0, shuffle=False,
                     process_index=jax.process_index(), process_count=jax.process_count(),
                     drop_last=False,
                 ):
-                    batch = jax.device_put(batch, data_shard)
+                    batch = put_global_batch(self.mesh, batch)
                     rng, eval_rng = jax.random.split(rng)
                     val_metrics.append(eval_step(params, batch, eval_rng))
                 if val_metrics:
@@ -255,12 +288,25 @@ class Trainer:
                     }
                 else:
                     agg = {"loss": float("inf")}
-                agg["epoch_seconds"] = time.time() - t0
-                self.logger.log(step, agg, prefix="val/")
+                # async-dispatch-safe wall time of the training loop (StepTimer syncs
+                # through the device tunnel before reading the clock)
+                agg["epoch_seconds"] = epoch_timer.times[-1]
+                self.logger.log(step, agg, prefix="val/", epoch=epoch)
 
+                # Rendering runs on rank 0 only, but a global-mesh-sharded tree cannot
+                # be applied by one process alone — materialize full params to host
+                # first (a collective: every process participates).
+                if jax.process_count() > 1:
+                    from jax.experimental import multihost_utils
+
+                    params_host = multihost_utils.process_allgather(params, tiled=True)
+                else:
+                    params_host = params
                 if jax.process_index() == 0:
-                    self._log_validation_images(params, val_ds, epoch, step)
-                    self.checkpoints.save(step, epoch + 1, params, opt_state, agg["loss"])
+                    self._log_validation_images(params_host, val_ds, epoch, step)
+                # every process participates in the distributed Orbax write; the
+                # ranking value agg["loss"] is identical on all hosts (see above)
+                self.checkpoints.save(step, epoch + 1, params, opt_state, agg["loss"])
         return params, opt_state, step
 
     def _log_validation_images(self, params, val_ds, epoch: int, step: int, n_samples: int = 2):

@@ -161,6 +161,30 @@ def make_vocoder_eval(gen: Generator, mel_cfg: MelConfig):
     return eval_step
 
 
+def load_generator_for_inference(ckpt_dir: str, prefer: str = "best"):
+    """Load a VocoderTrainer Orbax checkpoint and fold it for serving.
+
+    Closes the train->serve loop the reference only has for its released torch
+    checkpoint (`/root/reference/generate_HifiGan.py:57-79` loads `generator_v1`
+    then calls `remove_weight_norm()`): picks the best-val (or latest) checkpoint
+    from `ckpt_dir`, extracts the weight-normalized generator parameters, and folds
+    the weight norm into plain kernels (matcha_tpu.models.hifigan.fold_weight_norm).
+
+    Returns params for `Generator(cfg, weight_norm=False)`.
+    """
+    from matcha_tpu.models.hifigan import fold_weight_norm
+    from matcha_tpu.train.checkpoints import CheckpointStore
+
+    store = CheckpointStore(ckpt_dir)
+    entry = (store.best() if prefer == "best" else None) or store.latest()
+    if entry is None:
+        raise FileNotFoundError(f"no vocoder checkpoint found in {ckpt_dir}")
+    # Template-free restore: the saved topology is the trainer's own
+    # {"params": {"gen", "disc"}, "opt_state": ...} tree.
+    restored = store._ckptr.restore(Path(entry["path"]))
+    return fold_weight_norm(restored["params"]["gen"])
+
+
 class VocoderTrainer:
     """End-to-end HiFi-GAN training driver (single-host or mesh data-parallel)."""
 
@@ -226,8 +250,7 @@ class VocoderTrainer:
         return gen_params, disc_params, gen_opt, disc_opt, tx_g, tx_d
 
     def fit(self, train_ds, val_ds=None, max_epochs: Optional[int] = None, resume: bool = True):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
+        from matcha_tpu.parallel import put_global_batch
         from matcha_tpu.train.trainer import MetricLogger
 
         cfg = self.train_cfg
@@ -251,7 +274,6 @@ class VocoderTrainer:
         step_fn = make_vocoder_step(self.gen, self.disc, tx_g, tx_d, cfg, self.mel_cfg)
         eval_fn = make_vocoder_eval(self.gen, self.mel_cfg)
         logger = MetricLogger(Path(cfg.ckpt_dir) / "logs")
-        data_shard = NamedSharding(self.mesh, P("data"))
 
         with self.mesh:
             for epoch in range(start_epoch, max_epochs):
@@ -260,12 +282,12 @@ class VocoderTrainer:
                     train_ds, self.data_cfg, epoch=epoch,
                     process_index=jax.process_index(), process_count=jax.process_count(),
                 ):
-                    y = jax.device_put(jnp.asarray(y), data_shard)
+                    y = put_global_batch(self.mesh, np.asarray(y))
                     gen_p, disc_p, gen_opt, disc_opt, metrics = step_fn(
                         gen_p, disc_p, gen_opt, disc_opt, y
                     )
                     if step % cfg.log_every == 0:
-                        logger.log(step, metrics, prefix="train/")
+                        logger.log(step, metrics, prefix="train/", epoch=epoch)
                     step += 1
 
                 val_loss = float("inf")
@@ -276,18 +298,18 @@ class VocoderTrainer:
                         process_index=jax.process_index(),
                         process_count=jax.process_count(), drop_last=False,
                     ):
-                        y = jax.device_put(jnp.asarray(y), data_shard)
+                        y = put_global_batch(self.mesh, np.asarray(y))
                         vals.append(float(eval_fn(gen_p, y)))
                     val_loss = float(np.mean(vals)) if vals else float("inf")
                 logger.log(step, {"mel_l1": val_loss, "epoch_seconds": time.time() - t0},
-                           prefix="val/")
+                           prefix="val/", epoch=epoch)
 
-                if jax.process_index() == 0:
-                    self.checkpoints.save(
-                        step, epoch + 1,
-                        {"gen": gen_p, "disc": disc_p},
-                        {"gen": gen_opt, "disc": disc_opt},
-                        val_loss,
-                    )
+                # every process participates in the distributed Orbax write
+                self.checkpoints.save(
+                    step, epoch + 1,
+                    {"gen": gen_p, "disc": disc_p},
+                    {"gen": gen_opt, "disc": disc_opt},
+                    val_loss,
+                )
         logger.close()
         return gen_p, disc_p, step

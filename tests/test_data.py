@@ -27,6 +27,18 @@ def test_collate_static_shapes():
         assert np.abs(batch["y"][i, batch["y_lengths"][i]:, :]).sum() == 0
 
 
+def test_collate_rejects_text_longer_than_mel():
+    """MAS precondition guard: mel_frames >= text_tokens per sample."""
+    import pytest
+
+    cfg = DataConfig(batch_size=2)
+    good = {"x": np.arange(10, dtype=np.int32), "y": np.zeros((50, 80), np.float32)}
+    bad = {"x": np.arange(30, dtype=np.int32), "y": np.zeros((20, 80), np.float32)}
+    with pytest.raises(ValueError, match="monotonic alignment"):
+        collate([good, bad], cfg)
+    collate([good, good], cfg)  # valid batch still passes
+
+
 def test_batch_iterator_covers_dataset_and_buckets():
     ds = SyntheticDataset(n_items=64, min_frames=40, max_frames=300)
     cfg = DataConfig(batch_size=8, shuffle_seed=3)

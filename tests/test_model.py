@@ -121,3 +121,94 @@ def test_dropout_rng_changes_training_loss(model_and_params):
     l1 = loss(jax.random.PRNGKey(0), jax.random.PRNGKey(9))
     l2 = loss(jax.random.PRNGKey(1), jax.random.PRNGKey(9))
     assert l1 != l2  # dropout active
+
+
+def test_durations_injection_skips_mas(model_and_params):
+    """`durations=` path (`matcha_tts.py:254` analog): attn must equal the
+    deterministic cumsum path built from the injected durations, not the MAS path."""
+    from matcha_tpu.ops.masks import generate_path, sequence_mask
+
+    model, params = model_and_params
+    rng = jax.random.PRNGKey(3)
+    b, tx, ty = 2, 6, 16
+    x = jax.random.randint(rng, (b, tx), 3, 50)
+    xl = jnp.array([6, 4])
+    y = jax.random.normal(rng, (b, ty, TINY.n_feats))
+    # durations: token i claims dur[i] frames; sum == y_lengths
+    dur = jnp.array([[3, 2, 4, 1, 2, 4], [5, 3, 2, 0, 0, 0]], jnp.float32)
+    yl = jnp.sum(dur, axis=1).astype(jnp.int32)
+
+    out = model.apply(
+        {"params": params}, x, xl, y, yl, deterministic=True, durations=dur,
+        method=MatchaTTS.compute_losses, rngs={"cfm": jax.random.PRNGKey(0)},
+    )
+    x_mask = sequence_mask(xl, tx).astype(jnp.float32)
+    y_mask = sequence_mask(yl, ty).astype(jnp.float32)
+    attn_mask = x_mask[:, :, None] * y_mask[:, None, :]
+    expected = generate_path(dur, attn_mask)
+    np.testing.assert_array_equal(np.asarray(out["attn"]), np.asarray(expected))
+    # every frame within y_lengths is claimed by exactly one token
+    col = np.asarray(out["attn"]).sum(axis=1)
+    for i in range(b):
+        np.testing.assert_array_equal(col[i, : int(yl[i])], 1.0)
+    for k in ("dur_loss", "prior_loss", "diff_loss"):
+        assert np.isfinite(float(out[k]))
+
+
+def test_out_size_crop_matches_hand_trimmed_batch(model_and_params):
+    """out_size random-crop training path (`matcha_tts.py:290-312`).
+
+    With y_lengths == out_size every sample's crop offset is forced to 0, so the
+    cropped branch must produce EXACTLY the losses of calling compute_losses on a
+    hand-trimmed batch (y[:, :out_size]) with the same rngs — same CFM noise shapes,
+    same masks, same alignment.
+    """
+    model, params = model_and_params
+    rng = jax.random.PRNGKey(4)
+    b, tx, ty, out_size = 2, 6, 32, 16
+    x = jax.random.randint(rng, (b, tx), 3, 50)
+    xl = jnp.array([6, 4])
+    y = jax.random.normal(rng, (b, ty, TINY.n_feats))
+    y = y.at[:, out_size:, :].set(0.0)  # padded region zeroed, as collate produces
+    yl = jnp.array([out_size, out_size])
+    rngs = {"cfm": jax.random.PRNGKey(7), "crop": jax.random.PRNGKey(8)}
+
+    cropped = model.apply(
+        {"params": params}, x, xl, y, yl, deterministic=True, mas_impl="ref",
+        out_size=out_size, method=MatchaTTS.compute_losses, rngs=rngs,
+    )
+    trimmed = model.apply(
+        {"params": params}, x, xl, y[:, :out_size], yl, deterministic=True,
+        mas_impl="ref", method=MatchaTTS.compute_losses, rngs=rngs,
+    )
+    for k in ("dur_loss", "prior_loss", "diff_loss"):
+        np.testing.assert_allclose(float(cropped[k]), float(trimmed[k]), rtol=1e-5,
+                                   err_msg=f"{k} diverges between crop and trim")
+
+
+def test_out_size_random_offsets_keep_dur_loss(model_and_params):
+    """Random (nonzero-offset) crops: dur_loss is computed BEFORE the crop and must be
+    invariant to it; diff/prior stay finite and the attn stays a valid path."""
+    model, params = model_and_params
+    rng = jax.random.PRNGKey(5)
+    b, tx, ty, out_size = 2, 5, 48, 16
+    x = jax.random.randint(rng, (b, tx), 3, 50)
+    xl = jnp.array([5, 4])
+    y = jax.random.normal(rng, (b, ty, TINY.n_feats))
+    yl = jnp.array([48, 40])
+    rngs = {"cfm": jax.random.PRNGKey(9), "crop": jax.random.PRNGKey(10)}
+
+    out = model.apply(
+        {"params": params}, x, xl, y, yl, deterministic=True, mas_impl="ref",
+        out_size=out_size, method=MatchaTTS.compute_losses, rngs=rngs,
+    )
+    full = model.apply(
+        {"params": params}, x, xl, y, yl, deterministic=True, mas_impl="ref",
+        method=MatchaTTS.compute_losses, rngs=rngs,
+    )
+    np.testing.assert_allclose(float(out["dur_loss"]), float(full["dur_loss"]), rtol=1e-6)
+    for k in ("prior_loss", "diff_loss"):
+        assert np.isfinite(float(out[k]))
+    # the returned (cropped) attn window: each in-window frame claimed by <= 1 token
+    col = np.asarray(out["attn"]).sum(axis=1)
+    assert col.max() <= 1.0 + 1e-6

@@ -62,6 +62,56 @@ def test_gan_step_updates_and_is_finite():
     assert np.isfinite(float(ev(gen_p, y)))
 
 
+def test_fold_weight_norm_matches_weight_normed_generator():
+    """Folding parity of the reference's remove_weight_norm (`models.py:118-125`)."""
+    from matcha_tpu.models.hifigan import fold_weight_norm
+
+    gen_wn = Generator(TINY_GEN, weight_norm=True)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, SEG // 256, 80))
+    params = gen_wn.init(jax.random.PRNGKey(0), mel)["params"]
+
+    # perturb the scale params away from their scale_init=1 so the fold is non-trivial
+    def perturb(path, leaf):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if name.endswith("scale"):
+            k = jax.random.PRNGKey(abs(hash(name)) % (2**31))
+            return leaf * jax.random.uniform(k, leaf.shape, minval=0.5, maxval=2.0)
+        return leaf
+
+    params = jax.tree_util.tree_map_with_path(perturb, params)
+
+    y_wn = gen_wn.apply({"params": params}, mel)
+    folded = fold_weight_norm(params)
+    y_fold = Generator(TINY_GEN, weight_norm=False).apply({"params": folded}, mel)
+    # folded tree must match the plain generator layout exactly
+    plain = Generator(TINY_GEN, weight_norm=False).init(jax.random.PRNGKey(0), mel)["params"]
+    assert jax.tree.structure(folded) == jax.tree.structure(plain)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_wn), atol=1e-5, rtol=1e-5)
+
+
+def test_trained_vocoder_serving_loop(tmp_path):
+    """train_vocoder checkpoint -> load_generator_for_inference -> waveform."""
+    from matcha_tpu.train.vocoder import load_generator_for_inference
+
+    cfg = VocoderTrainConfig(max_epochs=1, ckpt_dir=str(tmp_path / "vck"), log_every=1)
+    data_cfg = AudioDataConfig(batch_size=2, segment_size=SEG)
+    train_ds = SyntheticWavDataset(n_items=2, segment_size=SEG)
+    from matcha_tpu.parallel import make_mesh
+
+    mesh = make_mesh(devices=jax.devices()[:2])  # batch 2 shards over 2 devices
+    trainer = VocoderTrainer(TINY_GEN, cfg, data_cfg, MEL, mesh=mesh, disc=TINY_DISC)
+    gen_p, _, _ = trainer.fit(train_ds, None, max_epochs=1)
+
+    folded = load_generator_for_inference(cfg.ckpt_dir)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (1, SEG // 256, 80))
+    y_serving = Generator(TINY_GEN, weight_norm=False).apply({"params": folded}, mel)
+    y_train_form = Generator(TINY_GEN, weight_norm=True).apply({"params": gen_p}, mel)
+    assert y_serving.shape == (1, SEG)
+    np.testing.assert_allclose(
+        np.asarray(y_serving), np.asarray(y_train_form), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_vocoder_trainer_fit_and_resume(tmp_path):
     cfg = VocoderTrainConfig(max_epochs=1, ckpt_dir=str(tmp_path / "ck"), log_every=1)
     data_cfg = AudioDataConfig(batch_size=2, segment_size=SEG)

@@ -1,4 +1,4 @@
-"""Benchmark: batched TTS synthesis throughput on the available accelerator.
+"""Benchmark: the full BASELINE.md matrix on the available accelerator.
 
 Prints ONE JSON line:
   {"metric": "audio_seconds_per_second_per_chip", "value": N, "unit": "x_realtime",
@@ -10,11 +10,22 @@ full-size MatchaTTS (default reference hyperparameters), mel budget 512 frames
 (1.0 = generates audio exactly as fast as it plays), the reference's own RTF metric
 (`matcha_tts.py:235-236`, RTF = wall * 22050 / (frames * 256); we report 1/RTF).
 
-Extra context fields record the MAS kernel's speedup over the C++/OpenMP CPU reference
-(the reference repo's only perf claim, README "10-100x plus rapide").
+Also measured (the rest of the BASELINE.md config list):
+  * the 2/4/10-step ODE sweep at batch 64 (`ode_sweep_x_realtime`);
+  * single-sentence text->wav latency through BOTH vocoder paths (Griffin-Lim and
+    HiFi-GAN, 50 ODE steps as `/root/reference/generate.py:55` uses) as x_realtime;
+  * model FLOP utilization (`mfu`) of the headline graph from XLA's own
+    cost analysis vs the chip's peak;
+  * the MAS kernel vs the C++/OpenMP CPU reference (the reference repo's only perf
+    claim, README "10-100x plus rapide"), with an explicit on-device path-equality
+    assertion (`mas_paths_equal`).
+
+Env knobs: MATCHA_BENCH_BF16=1 adds a bf16-serving headline; MATCHA_BENCH_FAST=1
+skips the sweep/vocoder extras (headline + MAS only).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,8 +33,46 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+SR = 22050
+HOP = 256
 
-def bench_synthesis(batch=64, tx=64, ty=512, n_timesteps=10, iters=5, bf16=False):
+# bf16 peak matmul FLOPs per chip by device kind (fp32 runs as bf16x3 passes on the
+# MXU, so bf16 peak is the standard MFU denominator)
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,       # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
+
+
+def _median_time(call, iters):
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        call()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _estimator_flops(batch, ty, n_feats=80):
+    """XLA-reported FLOPs of ONE decoder (CFM velocity estimator) forward pass."""
+    from matcha_tpu.nn.decoder import Decoder, DecoderConfig
+
+    dec = Decoder(DecoderConfig())
+    xt = jnp.zeros((batch, ty, n_feats))
+    mask = jnp.ones((batch, ty, 1))
+    tt = jnp.full((batch,), 0.5)
+    params = dec.init(jax.random.PRNGKey(0), xt[:1, :64], mask[:1, :64], xt[:1, :64],
+                      tt[:1], deterministic=True)["params"]
+    f = jax.jit(lambda p: dec.apply({"params": p}, xt, mask, xt, tt, deterministic=True))
+    ca = f.lower(params).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return float(ca["flops"])
+
+
+def bench_synthesis(batch=64, tx=64, ty=512, n_timesteps=10, iters=5, bf16=False,
+                    with_cost=False):
     from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
 
     model = MatchaTTS(MatchaConfig())
@@ -59,20 +108,79 @@ def bench_synthesis(batch=64, tx=64, ty=512, n_timesteps=10, iters=5, bf16=False
         return acc
 
     jfn = jax.jit(repeated)
+    flops = None
+    if with_cost:
+        # XLA's cost_analysis counts a lax.scan body ONCE regardless of trip count,
+        # so analyzing the whole synthesis graph undercounts by inner*n_timesteps.
+        # Instead: analyze one U-Net estimator call (the FLOP-dominant op) at the
+        # bench shapes and scale by the ODE step count. Encoder/alignment FLOPs are
+        # excluded (amortized once per batch, ~2 orders smaller) — MFU is a slight
+        # underestimate.
+        try:
+            flops = n_timesteps * _estimator_flops(batch, ty)
+        except Exception as e:
+            print(f"cost_analysis unavailable: {e}", file=sys.stderr)
     float(jfn(params, x, xl, jax.random.PRNGKey(1)))  # compile + run
+    wall = _median_time(lambda: float(jfn(params, x, xl, jax.random.PRNGKey(2))),
+                        iters) / inner
+    audio_seconds = batch * ty * HOP / SR
+    return audio_seconds / wall, wall, audio_seconds, flops
 
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        float(jfn(params, x, xl, jax.random.PRNGKey(i)))
-        times.append(time.perf_counter() - t0)
-    wall = float(np.median(times)) / inner
-    audio_seconds = batch * ty * 256 / 22050.0
-    return audio_seconds / wall, wall, audio_seconds
+
+def bench_single_sentence(vocoder: str, n_timesteps=50, tx=42, ty=256, iters=5):
+    """Single-sentence text->wav latency (both BASELINE.md vocoder paths).
+
+    Mirrors the inference scripts' configs: 50 ODE steps (`generate.py:55-61`),
+    Griffin-Lim with 32 iterations / NNLS inverse mel, or the HiFi-GAN v1 generator
+    (`generate_HifiGan.py:104-110`). Randomly initialized weights — identical FLOPs
+    and memory traffic to trained ones.
+    """
+    from matcha_tpu.audio.mel import MelConfig
+    from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
+
+    model = MatchaTTS(MatchaConfig())
+    params = init_params(model, jax.random.PRNGKey(0))
+    mel_cfg = MelConfig()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.integers(3, 140, size=(1, tx)), jnp.int32)
+    xl = jnp.full((1,), tx, jnp.int32)
+
+    if vocoder == "hifigan":
+        from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
+
+        gen = Generator(HiFiGANConfig(), weight_norm=False)
+        gparams = gen.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8, mel_cfg.n_mels))
+        )["params"]
+
+        def wav_fn(mel, key):
+            return gen.apply({"params": gparams}, mel)
+    else:
+        from matcha_tpu.audio.griffin_lim import mel_to_audio
+
+        def wav_fn(mel, key):
+            return mel_to_audio(mel_cfg, jnp.swapaxes(mel, -1, -2), rng=key)
+
+    def full(params, x, xl, key):
+        out = model.apply(
+            {"params": params}, x, xl, ty, n_timesteps,
+            method=MatchaTTS.synthesise_fixed, rngs={"noise": key},
+        )
+        return jnp.sum(wav_fn(out["mel"], key))
+
+    jfn = jax.jit(full)
+    float(jfn(params, x, xl, jax.random.PRNGKey(3)))  # compile + run
+    wall = _median_time(lambda: float(jfn(params, x, xl, jax.random.PRNGKey(4))), iters)
+    audio_seconds = ty * HOP / SR
+    return audio_seconds / wall, wall
 
 
 def bench_mas(b=32, tx=150, ty=800, iters=10):
-    """MAS kernel vs the C++/OpenMP CPU reference (reference bench shape, largest)."""
+    """MAS kernel vs the C++/OpenMP CPU reference (reference bench shape, largest).
+
+    Also asserts on-device path equality: the Pallas kernel's alignment must match
+    the C++ DP bit-for-bit (both are exact argmax DPs over the same scores).
+    """
     from matcha_tpu.ops import maximum_path_pallas
     from matcha_tpu.ops.mas_cpp import maximum_path_cpp
 
@@ -85,6 +193,13 @@ def bench_mas(b=32, tx=150, ty=800, iters=10):
     mask = x_mask[:, :, None] * y_mask[:, None, :]
 
     jv, jm = jnp.asarray(value), jnp.asarray(mask)
+
+    # correctness first: committed evidence that the TPU kernel's paths equal the
+    # C++ reference on this (the largest reference bench) shape
+    path_pallas = np.asarray(jax.jit(maximum_path_pallas)(jv, jm))
+    path_cpp = maximum_path_cpp(value, mask)
+    paths_equal = bool(np.array_equal(path_pallas, path_cpp))
+
     inner = 16  # in-graph repeats to amortize the ~28 ms tunnel round trip
 
     def mas_rep(v, m):
@@ -107,25 +222,42 @@ def bench_mas(b=32, tx=150, ty=800, iters=10):
     for _ in range(iters):
         maximum_path_cpp(value, mask)
     t_cpp = (time.perf_counter() - t0) / iters
-    return t_cpp / t_pallas, t_pallas * 1e3, t_cpp * 1e3
+    return t_cpp / t_pallas, t_pallas * 1e3, t_cpp * 1e3, paths_equal
 
 
 def main():
-    import os
-
     from matcha_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     backend = jax.default_backend()
-    xrt, wall, audio_s = bench_synthesis()
+    fast = bool(os.environ.get("MATCHA_BENCH_FAST"))
+
+    xrt, wall, audio_s, flops = bench_synthesis(with_cost=True)
+    mfu = None
+    if flops:
+        peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+        if peak:
+            mfu = flops / wall / peak
+
     bf16_xrt = None
     if os.environ.get("MATCHA_BENCH_BF16"):
         # Serving mode: bf16 parameters/activations (matcha_tpu.models.precision).
-        bf16_xrt, _, _ = bench_synthesis(iters=3, bf16=True)
+        bf16_xrt, _, _, _ = bench_synthesis(iters=3, bf16=True)
+
+    ode_sweep = {"10": round(xrt, 1)}
+    single = {}
+    if not fast:
+        for steps in (2, 4):
+            s_xrt, _, _, _ = bench_synthesis(n_timesteps=steps, iters=3)
+            ode_sweep[str(steps)] = round(s_xrt, 1)
+        for voc in ("griffin_lim", "hifigan"):
+            v_xrt, v_wall = bench_single_sentence(voc, iters=3)
+            single[voc] = {"x_realtime": round(v_xrt, 1), "wall_s": round(v_wall, 4)}
+
     try:
-        mas_speedup, mas_pallas_ms, mas_cpp_ms = bench_mas()
+        mas_speedup, mas_pallas_ms, mas_cpp_ms, mas_equal = bench_mas()
     except Exception as e:  # C++ toolchain missing etc.
-        mas_speedup = mas_pallas_ms = mas_cpp_ms = None
+        mas_speedup = mas_pallas_ms = mas_cpp_ms = mas_equal = None
         print(f"mas bench skipped: {e}", file=sys.stderr)
 
     result = {
@@ -138,9 +270,14 @@ def main():
         "ode_steps": 10,
         "wall_s_per_batch": round(wall, 4),
         "audio_s_per_batch": round(audio_s, 2),
+        "mfu": None if mfu is None else round(mfu, 4),
+        "headline_tflops": None if flops is None else round(flops / wall / 1e12, 1),
+        "ode_sweep_x_realtime": ode_sweep,
+        "single_sentence": single,
         "mas_pallas_vs_cpp_speedup": None if mas_speedup is None else round(mas_speedup, 2),
         "mas_pallas_ms": None if mas_pallas_ms is None else round(mas_pallas_ms, 2),
         "mas_cpp_ms": None if mas_cpp_ms is None else round(mas_cpp_ms, 2),
+        "mas_paths_equal": mas_equal,
         "bf16_x_realtime": None if bf16_xrt is None else round(bf16_xrt, 1),
     }
     print(json.dumps(result))

@@ -198,8 +198,10 @@ class MatchaTTS(nn.Module):
 
         `seq_axis`: optional mesh axis name for sequence/context parallelism
         (SURVEY.md §2.2): mel-time of the decoder activations is shard-constrained
-        over that axis and the XLA SPMD partitioner parallelizes the U-Net
-        (halo exchanges for convs, collectives for attention) across it.
+        over that axis; the SPMD partitioner parallelizes the U-Net convs (halo
+        exchanges) across it and the transformer blocks switch to blockwise RING
+        attention (K/V ppermute over ICI, matcha_tpu/parallel/ring_attention.py)
+        instead of gathering full K/V per device.
         """
         cfg = self.cfg
         y_lengths = jnp.minimum(y_lengths, y_max_length)
@@ -219,7 +221,9 @@ class MatchaTTS(nn.Module):
             mu_y = with_sharding_constraint(mu_y, P(None, seq_axis, None))
             y_mask = with_sharding_constraint(y_mask, P(None, seq_axis, None))
 
-        estimator = lambda xt, m, mu, t: self.decoder(xt, m, mu, t, deterministic=True)
+        estimator = lambda xt, m, mu, t: self.decoder(
+            xt, m, mu, t, deterministic=True, seq_axis=seq_axis
+        )
         rng = self.make_rng("noise") if not self.is_initializing() else jax.random.PRNGKey(0)
         dec = sample_cfm(
             estimator, rng, mu_y, y_mask, n_timesteps, temperature, solver=cfg.solver

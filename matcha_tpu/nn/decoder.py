@@ -20,7 +20,7 @@ unreachable, which we assert instead of emulating.
 """
 
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -157,13 +157,17 @@ class Decoder(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, mask, mu, t, *, deterministic: bool = True):
+    def __call__(self, x, mask, mu, t, *, deterministic: bool = True,
+                 seq_axis: Optional[str] = None):
         """
         Args:
             x: (B, T, n_feats) noisy sample.
             mask: (B, T, 1) 0/1 float mask; T must be a multiple of 2.
             mu: (B, T, n_feats) aligned encoder condition.
             t: (B,) flow time in [0, 1].
+            seq_axis: optional mesh axis name; the transformer blocks run ring
+               attention with mel-time sharded over it (every internal resolution
+               must divide by the axis size).
         Returns:
             (B, T, out_channels) velocity field.
         """
@@ -184,7 +188,7 @@ class Decoder(nn.Module):
                     attention_head_dim=cfg.attention_head_dim,
                     dropout=cfg.dropout,
                     activation_fn="gelu",
-                )(h, m2d, deterministic=deterministic)
+                )(h, m2d, deterministic=deterministic, seq_axis=seq_axis)
             return h
 
         hiddens = []

@@ -89,7 +89,8 @@ class DiffusersAttention(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, attn_bias: Optional[jnp.ndarray], *, deterministic: bool):
+    def __call__(self, x, attn_bias: Optional[jnp.ndarray], *, deterministic: bool,
+                 seq_axis: Optional[str] = None):
         b, t, _ = x.shape
         inner = self.heads * self.dim_head
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
@@ -101,12 +102,39 @@ class DiffusersAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         scale = 1.0 / jnp.sqrt(self.dim_head).astype(x.dtype)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
-        if attn_bias is not None:
-            # (B, Tk) 0/1 mask added to logits — the diffusers baddbmm(beta=1) quirk.
-            scores = scores + attn_bias[:, None, None, :]
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+        out = None
+        if seq_axis is not None:
+            # Sequence/context parallelism: when the ambient mesh has a seq axis of
+            # size > 1, compute attention blockwise with K/V ring-rotated over ICI
+            # (matcha_tpu/parallel/ring_attention.py) instead of relying on the SPMD
+            # partitioner's all-gather of the full K/V. Other mesh axes (data/model)
+            # stay automatically partitioned (`axis_names={seq_axis}`).
+            from matcha_tpu.parallel import current_mesh
+            from matcha_tpu.parallel.ring_attention import ring_attention
+
+            mesh = current_mesh()
+            if mesh is not None and dict(mesh.shape).get(seq_axis, 1) > 1:
+                import functools
+
+                from jax.sharding import PartitionSpec as P
+
+                bias = attn_bias if attn_bias is not None else jnp.zeros((b, t), x.dtype)
+                out = jax.shard_map(
+                    functools.partial(ring_attention, axis_name=seq_axis, scale=scale),
+                    mesh=mesh,
+                    in_specs=(P(None, None, seq_axis, None),) * 3 + (P(None, seq_axis),),
+                    out_specs=P(None, None, seq_axis, None),
+                    axis_names={seq_axis},
+                )(q, k, v, bias)
+
+        if out is None:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+            if attn_bias is not None:
+                # (B, Tk) 0/1 mask added to logits — the diffusers baddbmm(beta=1) quirk.
+                scores = scores + attn_bias[:, None, None, :]
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
         out = nn.Dense(self.dim, name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
@@ -122,16 +150,18 @@ class BasicTransformerBlock(nn.Module):
     activation_fn: str = "gelu"
 
     @nn.compact
-    def __call__(self, x, attention_mask=None, *, deterministic: bool = True):
+    def __call__(self, x, attention_mask=None, *, deterministic: bool = True,
+                 seq_axis: Optional[str] = None):
         """
         Args:
             x: (B, T, C) hidden states.
             attention_mask: (B, T) 0/1 float mask (added to logits, see module doc).
+            seq_axis: optional mesh axis for ring attention over sharded T.
         """
         h = nn.LayerNorm(epsilon=1e-5)(x)
         x = x + DiffusersAttention(
             self.dim, self.num_attention_heads, self.attention_head_dim, self.dropout
-        )(h, attention_mask, deterministic=deterministic)
+        )(h, attention_mask, deterministic=deterministic, seq_axis=seq_axis)
 
         h = nn.LayerNorm(epsilon=1e-5)(x)
         x = x + FeedForward(self.dim, dropout=self.dropout, activation_fn=self.activation_fn)(

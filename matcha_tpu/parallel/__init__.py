@@ -5,6 +5,7 @@ from matcha_tpu.parallel.mesh import (
     MODEL_AXIS,
     batch_sharding,
     batch_spec,
+    current_mesh,
     init_distributed,
     make_mesh,
     put_global_batch,
@@ -18,6 +19,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "batch_spec",
+    "current_mesh",
     "replicated",
     "put_global_batch",
     "init_distributed",

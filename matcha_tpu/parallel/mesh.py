@@ -52,6 +52,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def current_mesh() -> Optional[Mesh]:
+    """The physical mesh from the ambient `with mesh:` context, or None.
+
+    Model code that supports optional mesh-axis parallelism (e.g. the decoder's
+    ring attention over a 'seq' axis) resolves the mesh from context — the same
+    context bare-PartitionSpec `with_sharding_constraint` calls already require —
+    instead of threading a Mesh through every module signature.
+    """
+    try:
+        from jax._src.mesh import thread_resources  # no public accessor yet
+
+        m = thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
 def put_global_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a per-host batch shard onto the mesh as a batch-sharded global array.
 

@@ -44,6 +44,7 @@ def test_ring_attention_single_device_degenerate():
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_seq_sharded_decode_matches_unsharded():
     """decode_fixed with mel-time sharded over a 'seq' axis == single-device output.
 

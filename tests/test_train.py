@@ -116,6 +116,7 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -125,6 +126,7 @@ def test_dryrun_multichip():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+@pytest.mark.slow
 def test_dp_equals_single_device_loss():
     """Data-parallel sharded loss == unsharded loss (same batch, same rng)."""
     model = MatchaTTS(TINY)
@@ -143,6 +145,7 @@ def test_dp_equals_single_device_loss():
         np.testing.assert_allclose(float(base[k]), float(sharded[k]), rtol=2e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_trainer_fit_smoke(tmp_path):
     """Two epochs of the real fit loop on synthetic data + auto-resume."""
     from matcha_tpu.audio.mel import MelConfig
@@ -175,6 +178,7 @@ def test_trainer_fit_smoke(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+@pytest.mark.slow
 def test_tp_equals_single_device_loss():
     """Tensor-parallel (model=2) sharded loss == unsharded loss (the '--tp 2' flip)."""
     model = MatchaTTS(TINY)

@@ -8,6 +8,7 @@ The reference ships HiFi-GAN discriminators and losses without a training loop
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from matcha_tpu.audio.mel import MelConfig
 from matcha_tpu.data.audio_dataset import AudioDataConfig, SyntheticWavDataset
@@ -89,6 +90,7 @@ def test_fold_weight_norm_matches_weight_normed_generator():
     np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_wn), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_trained_vocoder_serving_loop(tmp_path):
     """train_vocoder checkpoint -> load_generator_for_inference -> waveform."""
     from matcha_tpu.train.vocoder import load_generator_for_inference
@@ -112,6 +114,7 @@ def test_trained_vocoder_serving_loop(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_vocoder_trainer_fit_and_resume(tmp_path):
     cfg = VocoderTrainConfig(max_epochs=1, ckpt_dir=str(tmp_path / "ck"), log_every=1)
     data_cfg = AudioDataConfig(batch_size=2, segment_size=SEG)

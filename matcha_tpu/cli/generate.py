@@ -35,16 +35,10 @@ def load_params(args, model):
         return load_matcha_torch_checkpoint(args.torch_ckpt, params)
     from matcha_tpu.train.checkpoints import CheckpointStore
 
-    store = CheckpointStore(args.ckpt_dir)
-    entry = store.best() or store.latest()
-    if entry is None:
-        raise FileNotFoundError(
-            f"no checkpoint found in {args.ckpt_dir}; train first or pass --torch-ckpt"
-        )
-    # template-free restore (skips materializing an opt_state template; the saved
-    # topology is the trainer's {"params", "opt_state"} tree)
-    restored = store._ckptr.restore(Path(entry["path"]))
-    return restored["params"]
+    try:
+        return CheckpointStore(args.ckpt_dir).restore_params()
+    except FileNotFoundError as e:
+        raise FileNotFoundError(f"{e}; train first or pass --torch-ckpt") from None
 
 
 def main():

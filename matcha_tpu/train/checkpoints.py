@@ -83,6 +83,18 @@ class CheckpointStore:
         restored = self._ckptr.restore(Path(entry["path"]), target)
         return restored["params"], restored["opt_state"], entry["step"], entry["epoch"]
 
+    def restore_params(self, prefer: str = "best") -> Any:
+        """Params-only restore for inference (no optimizer-state template needed).
+
+        Template-free Orbax restore of the best-val (or latest) checkpoint; returns
+        just the model parameter tree. Use `restore_latest`/`restore_best` when
+        resuming training (those also rebuild optimizer state and step/epoch).
+        """
+        entry = (self.best() if prefer == "best" else None) or self.latest()
+        if entry is None:
+            raise FileNotFoundError(f"no checkpoint found in {self.root}")
+        return self._ckptr.restore(Path(entry["path"]))["params"]
+
     def restore_latest(self, params_like: Any, opt_state_like: Any) -> Optional[Tuple]:
         entry = self.latest()
         if entry is None:

@@ -175,14 +175,10 @@ def load_generator_for_inference(ckpt_dir: str, prefer: str = "best"):
     from matcha_tpu.models.hifigan import fold_weight_norm
     from matcha_tpu.train.checkpoints import CheckpointStore
 
-    store = CheckpointStore(ckpt_dir)
-    entry = (store.best() if prefer == "best" else None) or store.latest()
-    if entry is None:
-        raise FileNotFoundError(f"no vocoder checkpoint found in {ckpt_dir}")
-    # Template-free restore: the saved topology is the trainer's own
+    # Template-free params-only restore: the saved topology is the trainer's own
     # {"params": {"gen", "disc"}, "opt_state": ...} tree.
-    restored = store._ckptr.restore(Path(entry["path"]))
-    return fold_weight_norm(restored["params"]["gen"])
+    params = CheckpointStore(ckpt_dir).restore_params(prefer)
+    return fold_weight_norm(params["gen"])
 
 
 class VocoderTrainer:

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of steps 2-4 into DIR "
                          "(open in Perfetto or TensorBoard's profile tab)")
+    ap.add_argument("--out-size", type=int, default=None,
+                    help="memory-bounded decoder training: random crop of this many "
+                         "frames per sample (multiple of 4; reference's dormant "
+                         "out_size machinery, matcha_tts.py:290-312)")
     args = ap.parse_args()
 
     from matcha_tpu.data.dataset import DataConfig, SyntheticDataset, TextMelDataset
@@ -55,7 +59,7 @@ def main():
     trainer = Trainer(
         train_cfg=TrainConfig(ckpt_dir=args.ckpt_dir, max_epochs=args.max_epochs,
                               mas_impl=args.mas_impl, precision=args.precision,
-                              profile_dir=args.profile),
+                              profile_dir=args.profile, out_size=args.out_size),
         data_cfg=DataConfig(batch_size=args.batch_size),
         mesh=make_mesh(model=args.tp),
     )

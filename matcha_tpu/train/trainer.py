@@ -56,6 +56,10 @@ class TrainConfig:
     # when set, capture a jax.profiler trace (Perfetto/TensorBoard-viewable) of a few
     # post-compile steps of the first trained epoch into this directory
     profile_dir: Optional[str] = None
+    # memory-bounded decoder training: train the CFM decoder on a random fixed-length
+    # window of this many frames per sample (`matcha_tts.py:290-312`; dormant in the
+    # reference's own config). Must be a multiple of 2**decoder downsamples.
+    out_size: Optional[int] = None
 
 
 def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
@@ -94,7 +98,7 @@ def make_train_step(model: MatchaTTS, tx: optax.GradientTransformation, train_cf
     bf16 = train_cfg.precision == "bf16"
 
     def loss_fn(params, batch, rng):
-        rng_cfm, rng_drop = jax.random.split(rng)
+        rng_cfm, rng_drop, rng_crop = jax.random.split(rng, 3)
         if bf16:
             from matcha_tpu.models.precision import mixed_precision_params
 
@@ -105,8 +109,9 @@ def make_train_step(model: MatchaTTS, tx: optax.GradientTransformation, train_cf
             deterministic=False,
             mas_impl=train_cfg.mas_impl,
             decoder_dtype=jnp.bfloat16 if bf16 else None,
+            out_size=train_cfg.out_size,
             method=MatchaTTS.compute_losses,
-            rngs={"cfm": rng_cfm, "dropout": rng_drop},
+            rngs={"cfm": rng_cfm, "dropout": rng_drop, "crop": rng_crop},
         )
         losses = {k: out[k] for k in ("dur_loss", "prior_loss", "diff_loss")}
         return total_loss(losses), losses

@@ -195,3 +195,22 @@ def test_tp_equals_single_device_loss():
         sharded = eval_step(sp, sb, jax.random.PRNGKey(5))
     for k in base:
         np.testing.assert_allclose(float(base[k]), float(sharded[k]), rtol=2e-5, err_msg=k)
+
+
+def test_train_step_with_out_size_crop():
+    """TrainConfig.out_size flows to compute_losses and the step stays finite."""
+    model = MatchaTTS(TINY)
+    params = init_params(model, jax.random.PRNGKey(0), tx=8, ty=16)
+    cfg = TrainConfig(accumulate_steps=1, mas_impl="ref", out_size=16)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, cfg)
+    ds = SyntheticDataset(n_items=4, mel_cfg=__import__("matcha_tpu.audio.mel",
+                          fromlist=["MelConfig"]).MelConfig(n_mels=TINY.n_feats),
+                          min_frames=32, max_frames=48)
+    batch = collate([ds.get(i) for i in range(4)],
+                    DataConfig(batch_size=4, text_pad_multiple=16, mel_pad_multiple=16))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params, opt_state, metrics = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    for k in ("dur_loss", "prior_loss", "diff_loss", "loss"):
+        assert np.isfinite(float(metrics[k])), k

@@ -42,6 +42,37 @@ class DataConfig:
     shuffle_seed: int = 0
 
 
+def _wav_num_samples(path) -> int:
+    """Per-channel sample count from the RIFF header (no audio decode).
+
+    Walks the chunk list properly (fmt_ for bit depth / channel count, data for
+    payload size) instead of assuming a fixed 44-byte 16-bit-PCM header, so float32
+    wavs and files with extra chunks (LIST, fact, ...) are measured exactly.
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        block_align = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"fmt ":
+                fmt = f.read(size + (size & 1))
+                block_align = struct.unpack("<H", fmt[12:14])[0]  # channels*bits/8
+            elif cid == b"data":
+                if not block_align:
+                    raise ValueError(f"{path}: data chunk before fmt chunk")
+                return max(size // block_align, 1)
+            else:
+                f.seek(size + (size & 1), os.SEEK_CUR)
+    raise ValueError(f"{path}: no data chunk found")
+
+
 class TextMelDataset:
     """metadata file of `wav_path|text` lines -> tokenized text + cached log-mel."""
 
@@ -87,13 +118,15 @@ class TextMelDataset:
         return {"x": ids, "y": mel}
 
     def mel_length(self, idx: int) -> int:
-        """Mel frame count without decoding audio (from the 16-bit PCM payload size)."""
-        cache = self._cache_path(self.items[idx][0])
-        if cache.exists():
-            return int(np.load(cache, mmap_mode="r").shape[0])
-        size = os.path.getsize(self.items[idx][0])
-        samples = max((size - 44) // 2, 1)
-        return num_frames(self.mel_cfg, samples)
+        """Mel frame count without decoding audio, from the RIFF header.
+
+        MUST be a pure function of the wav file (never of per-host cache state):
+        multi-host batch scheduling derives the GLOBAL static pad shapes from these
+        values, and hosts only populate the mel cache for their own slice — a
+        cache-dependent answer would make hosts disagree on compiled shapes and
+        deadlock the collectives.
+        """
+        return num_frames(self.mel_cfg, _wav_num_samples(self.items[idx][0]))
 
     def text_length(self, idx: int) -> int:
         """Token count without touching audio (cheap: tokenization only)."""
@@ -219,37 +252,57 @@ def batch_iterator(
     Examples are shuffled, sorted into length-similar pools so each batch pads to a
     tight bucket (bounded padded-FLOP waste), then batch order is shuffled. With
     `drop_last=False` the final short batch is wrap-padded by cycling its own items
-    so shapes stay static (standard eval-padding; duplicates keep mask weighting).
+    so shapes stay static (standard eval-padding); its `n_real` key reports the
+    distinct-item count so validation can weight the batch mean correctly.
     """
     n = len(dataset)
     global_bs = cfg.batch_size * process_count
     rng = np.random.default_rng(cfg.shuffle_seed * 1_000_003 + epoch)
     order = rng.permutation(n) if shuffle else np.arange(n)
 
-    # sort by cached/estimated mel length within a window to build tight buckets
-    lengths = np.array([dataset.mel_length(i) for i in order])
+    # Length metadata for ALL items, computed ONCE per epoch (index-only, no audio
+    # decode). Everything the schedule derives from these (bucketing, static pad
+    # shapes, the MAS-precondition check) is therefore identical on every host.
+    mel_lens = np.empty(n, np.int64)
+    text_lens = np.empty(n, np.int64)
+    for i in order:
+        mel_lens[i] = dataset.mel_length(int(i))
+        text_lens[i] = dataset.text_length(int(i))
+    # MAS precondition, raised on EVERY host alike (a per-host raise inside collate
+    # would leave the other hosts blocked in collectives — multi-host data errors
+    # must fail synchronously). Crop-to-max shortens both sides consistently.
+    eff_text = np.minimum(text_lens, cfg.max_text_len)
+    eff_mel = np.minimum(mel_lens, cfg.max_mel_len)
+    bad = np.nonzero(eff_text > eff_mel)[0]
+    if bad.size:
+        raise ValueError(
+            f"dataset items {bad[:8].tolist()}...: text tokens exceed mel frames; "
+            "monotonic alignment requires mel_frames >= text_tokens per sample "
+            "(filter or re-crop these examples)"
+        )
+
+    # sort by mel length within a window to build tight buckets
     window = global_bs * 16
     buckets = []
     for start in range(0, len(order), window):
         chunk = order[start : start + window]
-        lens = lengths[start : start + window]
-        chunk = chunk[np.argsort(lens, kind="stable")]
+        chunk = chunk[np.argsort(mel_lens[chunk], kind="stable")]
         for bstart in range(0, len(chunk), global_bs):
             batch_idx = chunk[bstart : bstart + global_bs]
-            if len(batch_idx) < global_bs:
+            n_real = len(batch_idx)
+            if n_real < global_bs:
                 if drop_last:
                     continue
-                reps = -(-global_bs // len(batch_idx))  # wrap-pad by cycling
+                reps = -(-global_bs // n_real)  # wrap-pad by cycling
                 batch_idx = np.tile(batch_idx, reps)[:global_bs]
-            buckets.append(batch_idx)
+            buckets.append((batch_idx, n_real))
     if shuffle:
         rng.shuffle(buckets)
-    for batch_idx in buckets:
-        # static shape from the GLOBAL batch (identical on every host, no audio I/O)
-        shape = pad_shapes(
-            cfg,
-            max(dataset.text_length(int(i)) for i in batch_idx),
-            max(dataset.mel_length(int(i)) for i in batch_idx),
-        )
+    for batch_idx, n_real in buckets:
+        # static shape from the GLOBAL batch (identical on every host)
+        shape = pad_shapes(cfg, int(text_lens[batch_idx].max()),
+                           int(mel_lens[batch_idx].max()))
         local_idx = batch_idx[process_index::process_count]
-        yield collate([dataset.get(int(i)) for i in local_idx], cfg, shape=shape)
+        batch = collate([dataset.get(int(i)) for i in local_idx], cfg, shape=shape)
+        batch["n_real"] = n_real
+        yield batch

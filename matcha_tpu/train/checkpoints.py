@@ -29,12 +29,19 @@ class CheckpointStore:
         return {"entries": []}  # list of {step, epoch, val_loss, path}
 
     def _write_index(self):
-        self._index_path.write_text(json.dumps(self._index, indent=1))
+        # atomic: a concurrent reader (another host on a shared FS) must never see
+        # a half-written index
+        tmp = self._index_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(self._index, indent=1))
+        tmp.replace(self._index_path)
 
     def save(self, step: int, epoch: int, params: Any, opt_state: Any, val_loss: float):
         """Save a checkpoint. Multi-host: EVERY process must call this (Orbax
-        coordinates the distributed write and barriers internally); the index file,
-        pre-existing-dir cleanup, and GC are performed by process 0 only."""
+        coordinates the distributed write and barriers internally). The index is
+        OWNED by process 0: only rank 0 appends/GCs/writes it — non-primary ranks'
+        in-memory copies stay frozen at the last `_load_index()` (they only consult
+        the index at startup, for the collective resume restore, where all ranks
+        read the same on-disk file)."""
         path = self.root / f"step_{step:09d}"
         primary = jax.process_index() == 0
         if primary and path.exists():
@@ -45,14 +52,15 @@ class CheckpointStore:
             multihost_utils.sync_global_devices(f"ckpt_pre_save_{step}")
         self._ckptr.save(path, {"params": params, "opt_state": opt_state})
         self._ckptr.wait_until_finished()
-        self._index["entries"].append(
-            {"step": step, "epoch": epoch, "val_loss": float(val_loss), "path": str(path)}
-        )
-        self._gc(do_io=primary)
         if primary:
+            self._index["entries"].append(
+                {"step": step, "epoch": epoch, "val_loss": float(val_loss),
+                 "path": str(path)}
+            )
+            self._gc()
             self._write_index()
 
-    def _gc(self, do_io: bool = True):
+    def _gc(self):
         """Keep the top-k by val loss plus the most recent entry."""
         entries = self._index["entries"]
         if not entries:
@@ -66,7 +74,7 @@ class CheckpointStore:
                 kept.append(e)
             else:
                 p = Path(e["path"])
-                if do_io and p.exists():
+                if p.exists():
                     shutil.rmtree(p)
         self._index["entries"] = kept
 

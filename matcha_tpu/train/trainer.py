@@ -239,10 +239,11 @@ class Trainer:
         eval_step = make_eval_step(self.model, cfg)
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
-        from matcha_tpu.utils.profiling import StepTimer, trace
+        from matcha_tpu.utils.profiling import StepTimer
 
         epoch_timer = StepTimer()
         steps_done = 0  # steps executed this fit() call (profiling skips compile steps)
+        profiling = False  # a trace is open (must be closed even on short runs)
 
         with self.mesh:
             for epoch in range(start_epoch, max_epochs):
@@ -252,19 +253,21 @@ class Trainer:
                         train_ds, self.data_cfg, epoch=epoch,
                         process_index=jax.process_index(), process_count=jax.process_count(),
                     ):
+                        batch.pop("n_real", None)  # full batches only (drop_last)
                         batch = put_global_batch(self.mesh, batch)
                         rng, step_rng = jax.random.split(rng)
+                        # profile steps 2-4 of this fit(): past the first-compile
+                        # wall, three steady-state steps in one trace
                         if cfg.profile_dir is not None and steps_done == 2:
-                            # steps 2-4: past the first-compile wall, inside steady state
-                            with trace(cfg.profile_dir):
-                                params, opt_state, metrics = train_step(
-                                    params, opt_state, batch, step_rng
-                                )
-                                jax.block_until_ready(metrics)
-                        else:
-                            params, opt_state, metrics = train_step(
-                                params, opt_state, batch, step_rng
-                            )
+                            jax.profiler.start_trace(cfg.profile_dir)
+                            profiling = True
+                        params, opt_state, metrics = train_step(
+                            params, opt_state, batch, step_rng
+                        )
+                        if profiling and steps_done >= 4:
+                            jax.block_until_ready(metrics)
+                            jax.profiler.stop_trace()
+                            profiling = False
                         if step % cfg.log_every == 0:
                             self.logger.log(step, metrics, prefix="train/", epoch=epoch)
                         step += 1
@@ -277,18 +280,22 @@ class Trainer:
                 # SPMD is a mean over the GLOBAL batch — so `agg` is identical on all
                 # hosts and rank 0's checkpoint ranking uses cross-host-correct values
                 # (reference `sync_dist=True` intent, `baselightningmodule.py:164-202`).
-                val_metrics = []
+                val_metrics, val_weights = [], []
                 for batch in batch_iterator(
                     val_ds, self.data_cfg, epoch=0, shuffle=False,
                     process_index=jax.process_index(), process_count=jax.process_count(),
                     drop_last=False,
                 ):
+                    # weight each batch mean by its DISTINCT item count so the
+                    # wrap-padded final batch doesn't over-count its items
+                    val_weights.append(batch.pop("n_real"))
                     batch = put_global_batch(self.mesh, batch)
                     rng, eval_rng = jax.random.split(rng)
                     val_metrics.append(eval_step(params, batch, eval_rng))
                 if val_metrics:
+                    w = np.asarray(val_weights, np.float64)
                     agg = {
-                        k: float(np.mean([float(m[k]) for m in val_metrics]))
+                        k: float(np.average([float(m[k]) for m in val_metrics], weights=w))
                         for k in val_metrics[0]
                     }
                 else:
@@ -312,6 +319,8 @@ class Trainer:
                 # every process participates in the distributed Orbax write; the
                 # ranking value agg["loss"] is identical on all hosts (see above)
                 self.checkpoints.save(step, epoch + 1, params, opt_state, agg["loss"])
+        if profiling:  # run ended before step 4 — close the trace cleanly
+            jax.profiler.stop_trace()
         return params, opt_state, step
 
     def _log_validation_images(self, params, val_ds, epoch: int, step: int, n_samples: int = 2):

@@ -89,3 +89,20 @@ def test_process_csv_split(tmp_path):
     # deterministic split
     n2 = process_csv(base)
     assert n2 == (n_train, n_val)
+
+
+def test_wav_num_samples_header_parse(tmp_path):
+    """RIFF parser: exact per-channel sample counts for int16 AND float32 wavs
+    (the old fixed-44-byte 16-bit assumption was 2x off for float32)."""
+    from scipy.io import wavfile
+
+    from matcha_tpu.data.dataset import _wav_num_samples
+
+    n = 12345
+    y16 = (np.sin(np.arange(n) * 0.01) * 20000).astype(np.int16)
+    wavfile.write(tmp_path / "i16.wav", 22050, y16)
+    assert _wav_num_samples(tmp_path / "i16.wav") == n
+
+    yf = np.sin(np.arange(n) * 0.01).astype(np.float32)
+    wavfile.write(tmp_path / "f32.wav", 22050, yf)  # scipy adds a 'fact' chunk
+    assert _wav_num_samples(tmp_path / "f32.wav") == n

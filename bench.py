@@ -20,8 +20,8 @@ Also measured (the rest of the BASELINE.md config list):
     claim, README "10-100x plus rapide"), with an explicit on-device path-equality
     assertion (`mas_paths_equal`).
 
-Env knobs: MATCHA_BENCH_BF16=1 adds a bf16-serving headline; MATCHA_BENCH_FAST=1
-skips the sweep/vocoder extras (headline + MAS only).
+Env knobs: MATCHA_BENCH_FAST=1 skips the sweep/vocoder extras (headline + MAS
+only); MATCHA_BENCH_NO_BF16=1 skips the bf16-serving measurement.
 """
 
 import json
@@ -239,9 +239,10 @@ def main():
         if peak:
             mfu = flops / wall / peak
 
+    # Serving mode: bf16 parameters/activations (matcha_tpu.models.precision;
+    # validated against fp32 in tests/test_precision.py). Skippable for quick runs.
     bf16_xrt = None
-    if os.environ.get("MATCHA_BENCH_BF16"):
-        # Serving mode: bf16 parameters/activations (matcha_tpu.models.precision).
+    if not os.environ.get("MATCHA_BENCH_NO_BF16"):
         bf16_xrt, _, _, _ = bench_synthesis(iters=3, bf16=True)
 
     ode_sweep = {"10": round(xrt, 1)}

@@ -106,3 +106,47 @@ def test_wav_num_samples_header_parse(tmp_path):
     yf = np.sin(np.arange(n) * 0.01).astype(np.float32)
     wavfile.write(tmp_path / "f32.wav", 22050, yf)  # scipy adds a 'fact' chunk
     assert _wav_num_samples(tmp_path / "f32.wav") == n
+
+
+def test_textmel_dataset_real_wavs(tmp_path):
+    """TextMelDataset end-to-end on real wav files: header mel_length must equal the
+    actual computed mel length (multi-host schedules depend on this), the mel cache
+    round-trips, and the 2-host batch schedule agrees on shapes."""
+    from scipy.io import wavfile
+
+    from matcha_tpu.data.dataset import TextMelDataset, batch_iterator
+
+    rng = np.random.default_rng(0)
+    meta = tmp_path / "train.txt"
+    texts = ["hello world", "the quick brown fox", "testing one two three",
+             "flow matching", "mel spectrogram cache", "monotonic alignment"]
+    with open(meta, "w") as f:
+        for i, text in enumerate(texts):
+            n = int(rng.integers(22050, 44100))
+            y = (np.sin(np.arange(n) * 0.03) * 15000).astype(np.int16)
+            path = tmp_path / f"w{i}.wav"
+            wavfile.write(path, 22050, y)
+            f.write(f"{path}|{text}\n")
+
+    ds = TextMelDataset(meta)
+    assert len(ds) == 6
+    for i in range(6):
+        item = ds.get(i)
+        assert ds.mel_length(i) == item["y"].shape[0], "header estimate must be exact"
+        assert ds.text_length(i) == len(item["x"])
+    # cache round-trip: second read hits .npy and matches
+    cached = ds.get(0)["y"]
+    assert len(list(ds.cache_dir.glob("*.npy"))) == 6
+    np.testing.assert_array_equal(cached, ds.get(0)["y"])
+
+    # 2-host schedule: same batch count, identical static shapes per batch
+    cfg = DataConfig(batch_size=1, text_pad_multiple=16, mel_pad_multiple=16)
+    shapes = []
+    for pi in range(2):
+        shapes.append([
+            (b["x"].shape, b["y"].shape[1])
+            for b in batch_iterator(ds, cfg, epoch=0, process_index=pi,
+                                    process_count=2, drop_last=False)
+        ])
+    assert len(shapes[0]) == len(shapes[1]) == 3
+    assert [s[1] for s in shapes[0]] == [s[1] for s in shapes[1]]

@@ -39,8 +39,12 @@ def main():
     from matcha_tpu.parallel import batch_sharding, make_mesh, shard_params
     from matcha_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step
 
+    import numpy as np
+
     model = MatchaTTS(MatchaConfig())
-    base_params = init_params(model, jax.random.PRNGKey(0))
+    # keep the master copy on HOST: the jitted step donates its device params, and a
+    # donated buffer must not be the one reused to seed the next mesh size
+    base_params = jax.tree.map(np.asarray, init_params(model, jax.random.PRNGKey(0)))
     train_cfg = TrainConfig(accumulate_steps=1, mas_impl="auto", log_grad_norm=False)
 
     results = []

@@ -1,0 +1,82 @@
+"""Serving-engine tests: batched synthesis == direct model calls, budget bucketing,
+per-sample cropping, warmup precompile."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
+from matcha_tpu.nn.decoder import DecoderConfig
+from matcha_tpu.nn.encoder import EncoderConfig
+from matcha_tpu.serve import ServeConfig, TTSEngine
+
+TINY = MatchaConfig(
+    n_feats=8,
+    encoder=EncoderConfig(n_feats=8, n_channels=16, filter_channels=32, n_heads=2,
+                          n_layers=1, filter_channels_dp=16),
+    decoder=DecoderConfig(in_channels=16, out_channels=8, channels=(16, 16),
+                          attention_head_dim=8, num_heads=2, num_mid_blocks=1),
+)
+MEL8 = __import__("matcha_tpu.audio.mel", fromlist=["MelConfig"]).MelConfig(n_mels=8)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = MatchaTTS(TINY)
+    params = init_params(model, jax.random.PRNGKey(0))
+    cfg = ServeConfig(n_timesteps=2, mel_budgets=(32, 64, 128), max_batch=4,
+                      vocoder="griffin_lim", mel_cfg=MEL8)
+    return TTSEngine(params, model_cfg=TINY, cfg=cfg), params
+
+
+def test_engine_matches_direct_model(engine):
+    """Engine output mel lengths + budget picks must match direct model math."""
+    eng, params = engine
+    texts = ["hello world", "abc"]
+    wavs, info = eng.synthesise(texts, seed=7)
+
+    # direct two-stage call with identical inputs/noise
+    x, xl = eng._tokenize(texts)
+    model = eng.model
+    mu_x, w_ceil, x_mask, y_lengths = model.apply(
+        {"params": params}, x, xl, method=MatchaTTS.encode_durations)
+    out = model.apply(
+        {"params": params}, mu_x, w_ceil, x_mask,
+        jnp.minimum(y_lengths, info["budget"]), info["budget"], 2,
+        method=MatchaTTS.decode_fixed, rngs={"noise": jax.random.PRNGKey(7)},
+    )
+    assert info["mel_lengths"] == np.asarray(out["mel_lengths"]).tolist()
+    assert len(wavs) == 2
+    hop = MEL8.hop_size
+    for wav, ml in zip(wavs, info["mel_lengths"]):
+        assert wav.ndim == 1 and wav.dtype == np.float32
+        assert abs(wav.shape[0] - ml * hop) <= hop  # per-sample crop
+    assert info["budget"] in (32, 64, 128)
+    assert np.isfinite(info["rtf"])
+
+
+def test_engine_budget_bucketing(engine):
+    eng, _ = engine
+    assert eng._pick_budget(1) == 32
+    assert eng._pick_budget(33) == 64
+    assert eng._pick_budget(128) == 128
+    assert eng._pick_budget(999) == 128  # clamps to the largest budget
+
+
+def test_engine_batch_limit_and_empty(engine):
+    eng, _ = engine
+    wavs, info = eng.synthesise([])
+    assert wavs == []
+    with pytest.raises(ValueError, match="max_batch"):
+        eng.synthesise(["x"] * 5)
+
+
+def test_engine_warmup_then_serve_no_new_compile(engine):
+    """After warmup, serving an identically-shaped request reuses compiled graphs."""
+    eng, _ = engine
+    eng.warmup(batch_sizes=(2,), text="hello world")
+    n0 = eng._decode._cache_size()
+    wavs, _ = eng.synthesise(["hello world", "hello there"], seed=1)
+    assert len(wavs) == 2
+    assert eng._decode._cache_size() == n0  # no new decode compile

@@ -80,3 +80,25 @@ def test_engine_warmup_then_serve_no_new_compile(engine):
     wavs, _ = eng.synthesise(["hello world", "hello there"], seed=1)
     assert len(wavs) == 2
     assert eng._decode._cache_size() == n0  # no new decode compile
+
+
+def test_engine_hifigan_vocoder_path():
+    """Engine with a (tiny) HiFi-GAN generator: waveform shape = frames * hop."""
+    from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
+
+    model = MatchaTTS(TINY)
+    params = init_params(model, jax.random.PRNGKey(0))
+    # 8-mel generator matching the tiny model's n_feats
+    gcfg = HiFiGANConfig(upsample_initial_channel=16, num_mels=8)
+    gen = Generator(gcfg, weight_norm=False)
+    gparams = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 4, 8)))["params"]
+
+    cfg = ServeConfig(n_timesteps=2, mel_budgets=(32, 64), max_batch=2,
+                      vocoder="hifigan", mel_cfg=MEL8)
+    eng = TTSEngine(params, model_cfg=TINY, cfg=cfg, vocoder_params=gparams,
+                    hifigan_cfg=gcfg)
+    wavs, info = eng.synthesise(["hello", "hi"], seed=3)
+    hop = MEL8.hop_size
+    for wav, ml in zip(wavs, info["mel_lengths"]):
+        assert wav.shape[0] == ml * hop
+        assert np.abs(wav).max() <= 1.0

@@ -11,8 +11,7 @@ reference becomes Dense; Conv1d(k) becomes feature-last `nn.Conv` — both map o
 MXU. LayerNorm eps matches torch (1e-5).
 """
 
-from dataclasses import dataclass, field
-from typing import Any, Callable
+from dataclasses import dataclass
 
 import flax.linen as nn
 import jax

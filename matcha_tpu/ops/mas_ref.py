@@ -10,7 +10,6 @@ O(Ty) sequential steps of (B, Tx) vector work — the same schedule the Pallas k
 but staged through XLA ops instead of a fused kernel.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -19,10 +19,10 @@ parameters placed per the TP rules, so the same step function runs 1-chip or N-h
 
 import json
 import time
-from dataclasses import asdict, dataclass
+from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ import optax
 
 from matcha_tpu.data.dataset import DataConfig, batch_iterator
 from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
-from matcha_tpu.parallel import make_mesh, param_shardings, put_global_batch, shard_params
+from matcha_tpu.parallel import make_mesh, put_global_batch, shard_params
 
 
 @dataclass(frozen=True)

@@ -18,7 +18,9 @@ Also measured (the rest of the BASELINE.md config list):
     cost analysis vs the chip's peak;
   * the MAS kernel vs the C++/OpenMP CPU reference (the reference repo's only perf
     claim, README "10-100x plus rapide"), with an explicit on-device path-equality
-    assertion (`mas_paths_equal`).
+    assertion (`mas_paths_equal`);
+  * fused training-step time (full-size model, batch 16): single dispatch vs
+    K-steps-per-dispatch lax.scan (`train_step_ms*`).
 
 Env knobs: MATCHA_BENCH_FAST=1 skips the sweep/vocoder extras (headline + MAS
 only); MATCHA_BENCH_NO_BF16=1 skips the bf16-serving measurement.
@@ -175,6 +177,67 @@ def bench_single_sentence(vocoder: str, n_timesteps=50, tx=42, ty=256, iters=5):
     return audio_seconds / wall, wall
 
 
+def bench_train(batch=16, tx=64, ty=512, k=8, iters=6):
+    """Fused training-step throughput: single dispatch vs K-steps-per-dispatch scan.
+
+    The full-size fused step (encoder + Pallas MAS + CFM U-Net fwd/bwd + AdamW,
+    reference hyperparameters incl. 2-step accumulation) at the evidence-run batch
+    size. Through a remote-device tunnel a single dispatch pays ~28 ms of host
+    latency; `steps_per_dispatch=K` (train.trainer) amortizes it — both numbers are
+    reported so the dispatch overhead is visible.
+    """
+    from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
+    from matcha_tpu.train.trainer import (
+        TrainConfig, make_optimizer, make_train_step, make_train_steps_scan,
+    )
+
+    model = MatchaTTS(MatchaConfig())
+    cfg = TrainConfig(log_grad_norm=False)
+    tx_opt = make_optimizer(cfg, steps_per_epoch=16)
+    rng = np.random.default_rng(2)
+    mel = np.cumsum(0.1 * rng.standard_normal((batch, ty, 80)), axis=1)
+    batch_d = {
+        "x": jnp.asarray(rng.integers(3, 140, size=(batch, tx)), jnp.int32),
+        "x_lengths": jnp.full((batch,), tx, jnp.int32),
+        "y": jnp.asarray(mel, jnp.float32),
+        "y_lengths": jnp.full((batch,), ty, jnp.int32),
+    }
+    keys = jax.random.split(jax.random.PRNGKey(7), 2 * iters * k + k)
+
+    # single dispatch — params/opt donated, so rebuild state per timing run
+    def fresh():
+        params = init_params(model, jax.random.PRNGKey(0))
+        return params, tx_opt.init(params)
+
+    step = make_train_step(model, tx_opt, cfg)
+    params, opt = fresh()
+    params, opt, m = step(params, opt, batch_d, keys[0])  # compile
+    float(m["loss"])
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        params, opt, m = step(params, opt, batch_d, keys[1 + i])
+        float(m["loss"])  # scalar transfer = real sync through the tunnel
+        times.append(time.perf_counter() - t0)
+    t_single = float(np.median(times))
+
+    scan = make_train_steps_scan(model, tx_opt, cfg)
+    stacked = {kk: jnp.stack([v] * k) for kk, v in batch_d.items()}
+    params, opt = fresh()
+    params, opt, mk = scan(params, opt, stacked, keys[iters : iters + k])  # compile
+    float(mk["loss"][-1])
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        params, opt, mk = scan(
+            params, opt, stacked, keys[iters + i * k : iters + (i + 1) * k]
+        )
+        float(mk["loss"][-1])
+        times.append(time.perf_counter() - t0)
+    t_scan = float(np.median(times)) / k
+    return t_single * 1e3, t_scan * 1e3, k
+
+
 def bench_mas(b=32, tx=150, ty=800, iters=10):
     """MAS kernel vs the C++/OpenMP CPU reference (reference bench shape, largest).
 
@@ -255,6 +318,13 @@ def main():
             v_xrt, v_wall = bench_single_sentence(voc, iters=3)
             single[voc] = {"x_realtime": round(v_xrt, 1), "wall_s": round(v_wall, 4)}
 
+    train_ms = train_scan_ms = scan_k = None
+    if not fast:
+        try:
+            train_ms, train_scan_ms, scan_k = bench_train()
+        except Exception as e:
+            print(f"train bench skipped: {e}", file=sys.stderr)
+
     try:
         mas_speedup, mas_pallas_ms, mas_cpp_ms, mas_equal = bench_mas()
     except Exception as e:  # C++ toolchain missing etc.
@@ -280,6 +350,10 @@ def main():
         "mas_cpp_ms": None if mas_cpp_ms is None else round(mas_cpp_ms, 2),
         "mas_paths_equal": mas_equal,
         "bf16_x_realtime": None if bf16_xrt is None else round(bf16_xrt, 1),
+        "train_step_ms": None if train_ms is None else round(train_ms, 2),
+        "train_step_ms_scan_dispatch": None if train_scan_ms is None
+        else round(train_scan_ms, 2),
+        "train_scan_dispatch_k": scan_k,
     }
     print(json.dumps(result))
 

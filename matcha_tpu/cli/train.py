@@ -35,6 +35,10 @@ def main():
                     help="memory-bounded decoder training: random crop of this many "
                          "frames per sample (multiple of 4; reference's dormant "
                          "out_size machinery, matcha_tts.py:290-312)")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="run K gradient steps per device dispatch (lax.scan over "
+                         "stacked same-shape batches) — amortizes host dispatch "
+                         "latency; per-step math and rng stream are unchanged")
     args = ap.parse_args()
 
     from matcha_tpu.data.dataset import DataConfig, SyntheticDataset, TextMelDataset
@@ -59,7 +63,8 @@ def main():
     trainer = Trainer(
         train_cfg=TrainConfig(ckpt_dir=args.ckpt_dir, max_epochs=args.max_epochs,
                               mas_impl=args.mas_impl, precision=args.precision,
-                              profile_dir=args.profile, out_size=args.out_size),
+                              profile_dir=args.profile, out_size=args.out_size,
+                              steps_per_dispatch=args.steps_per_dispatch),
         data_cfg=DataConfig(batch_size=args.batch_size),
         mesh=make_mesh(model=args.tp),
     )

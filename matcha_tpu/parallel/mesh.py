@@ -39,13 +39,18 @@ def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def batch_spec() -> P:
-    """Batch arrays shard along the data axis."""
-    return P(DATA_AXIS)
+def batch_spec(stacked_steps: bool = False) -> P:
+    """Batch arrays shard along the data axis.
+
+    `stacked_steps`: the array is a (K, B, ...) superbatch of K per-step batches
+    (train.trainer steps-per-dispatch scan) — the step dim stays replicated and the
+    batch dim (axis 1) shards over 'data'.
+    """
+    return P(None, DATA_AXIS) if stacked_steps else P(DATA_AXIS)
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, batch_spec())
+def batch_sharding(mesh: Mesh, stacked_steps: bool = False) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec(stacked_steps))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -69,7 +74,7 @@ def current_mesh() -> Optional[Mesh]:
         return None
 
 
-def put_global_batch(mesh: Mesh, batch: dict) -> dict:
+def put_global_batch(mesh: Mesh, batch: dict, stacked_steps: bool = False) -> dict:
     """Place a per-host batch shard onto the mesh as a batch-sharded global array.
 
     Single-process: a plain `device_put` (the local batch IS the global batch).
@@ -78,8 +83,11 @@ def put_global_batch(mesh: Mesh, batch: dict) -> dict:
     global array is assembled from per-process shards with
     `jax.make_array_from_process_local_data` — the global batch dimension becomes
     `local_batch * process_count`, sharded over the mesh's 'data' axis.
+
+    `stacked_steps`: leaves are (K, B, ...) superbatches (K per-step batches stacked
+    for a steps-per-dispatch scan); the batch dim is axis 1.
     """
-    shard = batch_sharding(mesh)
+    shard = batch_sharding(mesh, stacked_steps)
     if jax.process_count() == 1:
         return jax.device_put(batch, shard)
     return jax.tree.map(

@@ -60,6 +60,12 @@ class TrainConfig:
     # window of this many frames per sample (`matcha_tts.py:290-312`; dormant in the
     # reference's own config). Must be a multiple of 2**decoder downsamples.
     out_size: Optional[int] = None
+    # K>1: run K gradient steps per device dispatch via lax.scan over a stacked
+    # (K, B, ...) superbatch of identically-shaped bucket batches. Amortizes host
+    # dispatch latency (~28 ms/step through a remote-device tunnel) over K steps;
+    # same-shape batches are grouped within an epoch (order across buckets changes,
+    # per-step math and the RNG stream do not — see test_scan_dispatch_equivalence).
+    steps_per_dispatch: int = 1
 
 
 def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
@@ -92,8 +98,9 @@ def total_loss(losses: dict) -> jnp.ndarray:
     return losses["dur_loss"] + losses["prior_loss"] + losses["diff_loss"]
 
 
-def make_train_step(model: MatchaTTS, tx: optax.GradientTransformation, train_cfg: TrainConfig):
-    """Build the jitted (params, opt_state, batch, rng) -> updated state + metrics step."""
+def _make_one_step(model: MatchaTTS, tx: optax.GradientTransformation, train_cfg: TrainConfig):
+    """The un-jitted (params, opt_state, batch, rng) -> (params, opt_state, metrics)
+    gradient step shared by the single-dispatch and scan-dispatch step builders."""
 
     bf16 = train_cfg.precision == "bf16"
 
@@ -116,8 +123,7 @@ def make_train_step(model: MatchaTTS, tx: optax.GradientTransformation, train_cf
         losses = {k: out[k] for k in ("dur_loss", "prior_loss", "diff_loss")}
         return total_loss(losses), losses
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng):
+    def one_step(params, opt_state, batch, rng):
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -126,7 +132,67 @@ def make_train_step(model: MatchaTTS, tx: optax.GradientTransformation, train_cf
             metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, metrics
 
+    return one_step
+
+
+def make_train_step(model: MatchaTTS, tx: optax.GradientTransformation, train_cfg: TrainConfig):
+    """Build the jitted (params, opt_state, batch, rng) -> updated state + metrics step."""
+
+    one_step = _make_one_step(model, tx, train_cfg)
+
+    # named wrapper (not jit(one_step)): the function name is part of the HLO module
+    # name and therefore of the persistent compile-cache key — keep it stable
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng):
+        return one_step(params, opt_state, batch, rng)
+
     return train_step
+
+
+def make_train_steps_scan(model: MatchaTTS, tx: optax.GradientTransformation,
+                          train_cfg: TrainConfig):
+    """Build a jitted K-steps-per-dispatch train function.
+
+    Takes a stacked superbatch (each leaf (K, B, ...)) and K rng keys, runs K
+    sequential gradient steps inside one compiled graph via `lax.scan`, and returns
+    stacked (K,) per-step metrics. One dispatch instead of K: host->device latency
+    (the dominant cost of small fused steps through a remote-device tunnel) is paid
+    once, and XLA pipelines the scan body back-to-back on chip.
+    """
+
+    one_step = _make_one_step(model, tx, train_cfg)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_steps(params, opt_state, batches, rngs):
+        def body(carry, inp):
+            batch, rng = inp
+            p, o, metrics = one_step(carry[0], carry[1], batch, rng)
+            return (p, o), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(body, (params, opt_state), (batches, rngs))
+        return params, opt_state, metrics
+
+    return train_steps
+
+
+def chunk_batches_by_shape(batches, k: int):
+    """Group a batch stream into lists of <= k identically-shaped batches.
+
+    Buffers per static bucket shape and emits a group as soon as k batches of that
+    shape are available (bounded buffering: at most k-1 batches retained per shape);
+    leftovers flush in deterministic shape order at stream end. Batches are reordered
+    ACROSS buckets within an epoch — each gradient step still sees exactly one
+    original batch, and the grouping is identical on every host because the input
+    schedule is (matcha_tpu.data.dataset.batch_iterator's multi-host contract).
+    """
+    pending: dict = {}
+    for b in batches:
+        key = tuple(sorted((name, np.shape(v)) for name, v in b.items()))
+        pending.setdefault(key, []).append(b)
+        if len(pending[key]) == k:
+            yield pending.pop(key)
+    for key in sorted(pending):
+        yield pending[key]
 
 
 def make_eval_step(model: MatchaTTS, train_cfg: TrainConfig):
@@ -235,7 +301,12 @@ class Trainer:
                 params, opt_state, step, start_epoch = restored
                 print(f"resumed from step {step} (epoch {start_epoch})")
 
+        # K>1 uses the scanned multi-step graph for full groups of K same-shape
+        # batches and falls back to the single-step graph for epoch-end remainders
+        # (a scan graph per remainder length would recompile every epoch).
         train_step = make_train_step(self.model, tx, cfg)
+        if cfg.steps_per_dispatch > 1:
+            train_steps_scan = make_train_steps_scan(self.model, tx, cfg)
         eval_step = make_eval_step(self.model, cfg)
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -243,35 +314,91 @@ class Trainer:
 
         epoch_timer = StepTimer()
         steps_done = 0  # steps executed this fit() call (profiling skips compile steps)
+        dispatches_done = 0  # device dispatches this fit() (scan-dispatch profiling)
         profiling = False  # a trace is open (must be closed even on short runs)
 
         with self.mesh:
             for epoch in range(start_epoch, max_epochs):
                 metrics = None
+                train_iter = batch_iterator(
+                    train_ds, self.data_cfg, epoch=epoch,
+                    process_index=jax.process_index(), process_count=jax.process_count(),
+                )
                 with epoch_timer.measure() as epoch_out:
-                    for batch in batch_iterator(
-                        train_ds, self.data_cfg, epoch=epoch,
-                        process_index=jax.process_index(), process_count=jax.process_count(),
-                    ):
-                        batch.pop("n_real", None)  # full batches only (drop_last)
-                        batch = put_global_batch(self.mesh, batch)
-                        rng, step_rng = jax.random.split(rng)
-                        # profile steps 2-4 of this fit(): past the first-compile
-                        # wall, three steady-state steps in one trace
-                        if cfg.profile_dir is not None and steps_done == 2:
-                            jax.profiler.start_trace(cfg.profile_dir)
-                            profiling = True
-                        params, opt_state, metrics = train_step(
-                            params, opt_state, batch, step_rng
-                        )
-                        if profiling and steps_done >= 4:
-                            jax.block_until_ready(metrics)
-                            jax.profiler.stop_trace()
-                            profiling = False
-                        if step % cfg.log_every == 0:
-                            self.logger.log(step, metrics, prefix="train/", epoch=epoch)
-                        step += 1
-                        steps_done += 1
+                    if cfg.steps_per_dispatch > 1:
+                        for chunk in chunk_batches_by_shape(
+                            ({k: v for k, v in b.items() if k != "n_real"}
+                             for b in train_iter),
+                            cfg.steps_per_dispatch,
+                        ):
+                            k = len(chunk)
+                            # split sequentially so the per-step rng stream is
+                            # IDENTICAL to steps_per_dispatch=1
+                            step_rngs = []
+                            for _ in range(k):
+                                rng, r = jax.random.split(rng)
+                                step_rngs.append(r)
+                            # profile the second dispatch: past the first-compile wall,
+                            # one steady-state K-step scan in the trace
+                            if cfg.profile_dir is not None and dispatches_done == 1:
+                                jax.profiler.start_trace(cfg.profile_dir)
+                                profiling = True
+                            if k == cfg.steps_per_dispatch:
+                                stacked = {
+                                    key: np.stack([np.asarray(b[key]) for b in chunk])
+                                    for key in chunk[0]
+                                }
+                                stacked = put_global_batch(
+                                    self.mesh, stacked, stacked_steps=True
+                                )
+                                params, opt_state, metrics_k = train_steps_scan(
+                                    params, opt_state, stacked, jnp.stack(step_rngs)
+                                )
+                                per_step = [
+                                    {kk: v[i] for kk, v in metrics_k.items()}
+                                    for i in range(k)
+                                ]
+                                metrics = per_step[-1]
+                            else:  # epoch-end remainder: single-step graph, no new compiles
+                                per_step = []
+                                for b, r in zip(chunk, step_rngs):
+                                    b = put_global_batch(self.mesh, b)
+                                    params, opt_state, metrics = train_step(
+                                        params, opt_state, b, r
+                                    )
+                                    per_step.append(metrics)
+                            if profiling:
+                                jax.block_until_ready(metrics)
+                                jax.profiler.stop_trace()
+                                profiling = False
+                            dispatches_done += 1
+                            for i in range(k):
+                                if (step + i) % cfg.log_every == 0:
+                                    self.logger.log(step + i, per_step[i],
+                                                    prefix="train/", epoch=epoch)
+                            step += k
+                            steps_done += k
+                    else:
+                        for batch in train_iter:
+                            batch.pop("n_real", None)  # full batches only (drop_last)
+                            batch = put_global_batch(self.mesh, batch)
+                            rng, step_rng = jax.random.split(rng)
+                            # profile steps 2-4 of this fit(): past the first-compile
+                            # wall, three steady-state steps in one trace
+                            if cfg.profile_dir is not None and steps_done == 2:
+                                jax.profiler.start_trace(cfg.profile_dir)
+                                profiling = True
+                            params, opt_state, metrics = train_step(
+                                params, opt_state, batch, step_rng
+                            )
+                            if profiling and steps_done >= 4:
+                                jax.block_until_ready(metrics)
+                                jax.profiler.stop_trace()
+                                profiling = False
+                            if step % cfg.log_every == 0:
+                                self.logger.log(step, metrics, prefix="train/", epoch=epoch)
+                            step += 1
+                            steps_done += 1
                     if metrics is not None:
                         epoch_out["result"] = metrics
 

@@ -1,5 +1,7 @@
 """Training-loop tests: tiny train steps, checkpoint round-trip, multi-chip dry run."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,3 +216,104 @@ def test_train_step_with_out_size_crop():
     params, opt_state, metrics = step(params, opt_state, batch, jax.random.PRNGKey(1))
     for k in ("dur_loss", "prior_loss", "diff_loss", "loss"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_chunk_batches_by_shape():
+    """Grouping: emits full groups of k per shape, flushes leftovers, keeps
+    per-shape order, and never mixes shapes inside a group."""
+    from matcha_tpu.train.trainer import chunk_batches_by_shape
+
+    def b(tx, ty, tag):
+        return {"x": np.zeros((2, tx), np.int32), "y": np.zeros((2, ty, 4), np.float32),
+                "x_lengths": np.full((2,), tag, np.int32), "y_lengths": np.ones((2,), np.int32)}
+
+    stream = [b(8, 16, 0), b(16, 32, 1), b(8, 16, 2), b(8, 16, 3), b(16, 32, 4)]
+    groups = list(chunk_batches_by_shape(iter(stream), 2))
+    tags = [[int(g["x_lengths"][0]) for g in grp] for grp in groups]
+    assert tags[0] == [0, 2]  # first full group of the (8,16) shape
+    assert sorted(map(tuple, tags[1:])) == [(1, 4), (3,)]  # flush order deterministic
+    for grp in groups:
+        shapes = {g["y"].shape for g in grp}
+        assert len(shapes) == 1
+
+
+def test_scan_dispatch_equals_sequential_steps():
+    """K gradient steps in one lax.scan dispatch == K single dispatches:
+    identical params, opt state and per-step metrics for the same rng stream
+    (incl. through a MultiSteps accumulation boundary)."""
+    from matcha_tpu.audio.mel import MelConfig
+    from matcha_tpu.train.trainer import make_train_steps_scan
+
+    cfg = TrainConfig(accumulate_steps=2, mas_impl="ref", log_grad_norm=True)
+    model = MatchaTTS(TINY)
+    ds = SyntheticDataset(n_items=12, mel_cfg=MelConfig(n_mels=TINY.n_feats),
+                          min_frames=16, max_frames=32)
+    dcfg = DataConfig(batch_size=4, text_pad_multiple=16, mel_pad_multiple=16)
+    batches = [collate([ds.get(i) for i in range(j * 4, (j + 1) * 4)], dcfg, shape=(16, 32))
+               for j in range(3)]
+    rngs = [jax.random.PRNGKey(100 + j) for j in range(3)]
+
+    def fresh():
+        params = init_params(model, jax.random.PRNGKey(0), tx=8, ty=16)
+        tx = make_optimizer(cfg, steps_per_epoch=100)
+        return params, tx.init(params), tx
+
+    # path A: three single dispatches
+    params_a, opt_a, tx = fresh()
+    step = make_train_step(model, tx, cfg)
+    seq_metrics = []
+    for bt, r in zip(batches, rngs):
+        params_a, opt_a, m = step(params_a, opt_a, {k: jnp.asarray(v) for k, v in bt.items()}, r)
+        seq_metrics.append({k: float(v) for k, v in m.items()})
+
+    # path B: one scanned dispatch over the stacked superbatch
+    params_b, opt_b, tx2 = fresh()
+    scan_step = make_train_steps_scan(model, tx2, cfg)
+    stacked = {k: jnp.stack([jnp.asarray(bt[k]) for bt in batches]) for k in batches[0]}
+    params_b, opt_b, metrics_k = scan_step(params_b, opt_b, stacked, jnp.stack(rngs))
+
+    # per-step metric equality is the strong check: step j's losses depend on the
+    # params produced by steps < j, so 3 matching steps proves the streams coincide
+    for j in range(3):
+        for k in seq_metrics[j]:
+            np.testing.assert_allclose(float(metrics_k[k][j]), seq_metrics[j][k],
+                                       rtol=2e-5, atol=1e-6, err_msg=f"step {j} {k}")
+    # params: AdamW turns ulp-level gradient noise (scan body fuses differently than
+    # the standalone graph) into +-lr sign flips where the true gradient ~ 0, so
+    # bound the drift instead of demanding elementwise equality
+    diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b))
+    ])
+    assert diffs.max() < 3 * cfg.lr  # one sign-flipped AdamW step of slack
+    assert (diffs > 1e-6).mean() < 0.02  # and only on a sliver of elements
+
+
+@pytest.mark.slow
+def test_trainer_fit_steps_per_dispatch(tmp_path):
+    """fit() with steps_per_dispatch>1: same step accounting, per-step metric rows,
+    checkpoints still resumable."""
+    from matcha_tpu.audio.mel import MelConfig
+    from matcha_tpu.train.trainer import Trainer
+
+    data_cfg = DataConfig(batch_size=4, text_pad_multiple=16, mel_pad_multiple=16)
+    train_cfg = TrainConfig(
+        ckpt_dir=str(tmp_path / "ckpts"), accumulate_steps=1, mas_impl="ref",
+        log_every=1, log_grad_norm=False, steps_per_dispatch=2,
+    )
+    mel_cfg = MelConfig(n_mels=TINY.n_feats)
+    train_ds = SyntheticDataset(n_items=16, mel_cfg=mel_cfg, min_frames=16, max_frames=32)
+    val_ds = SyntheticDataset(n_items=4, mel_cfg=mel_cfg, seed=1, min_frames=16, max_frames=32)
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    trainer = Trainer(model_cfg=TINY, train_cfg=train_cfg, data_cfg=data_cfg, mesh=mesh)
+    params, opt_state, step = trainer.fit(train_ds, val_ds, max_epochs=1, resume=False)
+    assert step == 4  # 16 items / batch 4 = 4 steps, regardless of dispatch grouping
+
+    lines = (tmp_path / "ckpts" / "logs" / "metrics.jsonl").read_text().strip().split("\n")
+    train_steps_logged = sorted(json.loads(l)["step"] for l in lines if '"train/loss"' in l)
+    assert train_steps_logged == [0, 1, 2, 3]  # every step logged from stacked metrics
+
+    trainer2 = Trainer(model_cfg=TINY, train_cfg=train_cfg, data_cfg=data_cfg, mesh=mesh)
+    _, _, step2 = trainer2.fit(train_ds, val_ds, max_epochs=2, resume=True)
+    assert step2 == 8

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--segment-size", type=int, default=8192)
     ap.add_argument("--ckpt-dir", default="checkpoints_vocoder")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="run K GAN steps per device dispatch (lax.scan over a "
+                         "stacked segment superbatch) - amortizes dispatch latency")
     args = ap.parse_args()
 
     from matcha_tpu.data.audio_dataset import (
@@ -49,7 +52,8 @@ def main():
         ap.error("provide --data or --synthetic")
 
     trainer = VocoderTrainer(
-        train_cfg=VocoderTrainConfig(max_epochs=args.epochs, ckpt_dir=args.ckpt_dir),
+        train_cfg=VocoderTrainConfig(max_epochs=args.epochs, ckpt_dir=args.ckpt_dir,
+                                     steps_per_dispatch=args.steps_per_dispatch),
         data_cfg=AudioDataConfig(batch_size=args.batch_size, segment_size=args.segment_size),
     )
     trainer.fit(train_ds, val_ds, max_epochs=args.epochs, resume=not args.no_resume)

@@ -60,6 +60,10 @@ class VocoderTrainConfig:
     ckpt_dir: str = "checkpoints_vocoder"
     keep_top_k: int = 3
     seed: int = 1234
+    # K>1: run K GAN steps per device dispatch (lax.scan over a stacked (K, B, T)
+    # segment superbatch). Vocoder batches are all the same static shape, so groups
+    # always fill — pure dispatch-latency amortization, no reordering at all.
+    steps_per_dispatch: int = 1
 
 
 class Discriminators(nn.Module):
@@ -124,8 +128,7 @@ def make_vocoder_step(
         adv = generator_loss(pg)[0] + generator_loss(sg)[0]
         return adv + fm + mel_l1, {"mel_l1": mel_l1, "fm": fm, "adv": adv}
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def step(gen_params, disc_params, gen_opt, disc_opt, y):
+    def one_step(gen_params, disc_params, gen_opt, disc_opt, y):
         # Discriminator update on a detached generator sample (upstream order).
         y_hat = jax.lax.stop_gradient(gen.apply({"params": gen_params}, input_mel(y)))
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(disc_params, y, y_hat)
@@ -143,7 +146,24 @@ def make_vocoder_step(
         metrics = dict(aux, d_loss=d_loss, g_loss=g_loss)
         return gen_params, disc_params, gen_opt, disc_opt, metrics
 
-    return step
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def step(gen_params, disc_params, gen_opt, disc_opt, y):
+        return one_step(gen_params, disc_params, gen_opt, disc_opt, y)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def scan_steps(gen_params, disc_params, gen_opt, disc_opt, ys):
+        # K GAN steps in one dispatch: ys is a (K, B, T) stacked segment superbatch
+        # (all vocoder batches share one static shape, so grouping is trivial)
+        def body(carry, y):
+            gp, dp, go, do, metrics = one_step(*carry, y)
+            return (gp, dp, go, do), metrics
+
+        carry, metrics = jax.lax.scan(
+            body, (gen_params, disc_params, gen_opt, disc_opt), ys
+        )
+        return (*carry, metrics)
+
+    return step, scan_steps
 
 
 def make_vocoder_eval(gen: Generator, mel_cfg: MelConfig):
@@ -267,18 +287,46 @@ class VocoderTrainer:
                 gen_opt, disc_opt = opts["gen"], opts["disc"]
                 print(f"resumed vocoder training from step {step} (epoch {start_epoch})")
 
-        step_fn = make_vocoder_step(self.gen, self.disc, tx_g, tx_d, cfg, self.mel_cfg)
+        step_fn, scan_fn = make_vocoder_step(self.gen, self.disc, tx_g, tx_d, cfg, self.mel_cfg)
         eval_fn = make_vocoder_eval(self.gen, self.mel_cfg)
         logger = MetricLogger(Path(cfg.ckpt_dir) / "logs")
+        k_dispatch = max(cfg.steps_per_dispatch, 1)
 
         with self.mesh:
             for epoch in range(start_epoch, max_epochs):
                 t0 = time.time()
+                buf = []  # pending segment batches for the K-step scan dispatch
                 for y in wav_batch_iterator(
                     train_ds, self.data_cfg, epoch=epoch,
                     process_index=jax.process_index(), process_count=jax.process_count(),
                 ):
+                    if k_dispatch > 1:
+                        buf.append(np.asarray(y))
+                        if len(buf) < k_dispatch:
+                            continue
+                        ys = put_global_batch(self.mesh, np.stack(buf),
+                                              stacked_steps=True)
+                        buf = []
+                        gen_p, disc_p, gen_opt, disc_opt, metrics_k = scan_fn(
+                            gen_p, disc_p, gen_opt, disc_opt, ys
+                        )
+                        for i in range(k_dispatch):
+                            if (step + i) % cfg.log_every == 0:
+                                logger.log(step + i,
+                                           {kk: v[i] for kk, v in metrics_k.items()},
+                                           prefix="train/", epoch=epoch)
+                        step += k_dispatch
+                        continue
                     y = put_global_batch(self.mesh, np.asarray(y))
+                    gen_p, disc_p, gen_opt, disc_opt, metrics = step_fn(
+                        gen_p, disc_p, gen_opt, disc_opt, y
+                    )
+                    if step % cfg.log_every == 0:
+                        logger.log(step, metrics, prefix="train/", epoch=epoch)
+                    step += 1
+                # epoch-end remainder (< K batches): single-step graph, no recompiles
+                for y in buf:
+                    y = put_global_batch(self.mesh, y)
                     gen_p, disc_p, gen_opt, disc_opt, metrics = step_fn(
                         gen_p, disc_p, gen_opt, disc_opt, y
                     )

@@ -20,7 +20,7 @@ cleaner loss values. Set `include_padding_noise=True` for bit-parity of the repo
 value.
 """
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -113,13 +113,23 @@ SOLVERS = {
 
 def sample_cfm(
     estimator: Callable,
-    rng: jax.Array,
+    rng: Optional[jax.Array],
     mu: jnp.ndarray,
     mask: jnp.ndarray,
     n_timesteps: int,
     temperature: float = 1.0,
     solver: str = "euler",
+    z: Optional[jnp.ndarray] = None,
 ):
-    """Generate a mel from noise given the aligned condition (`flow_matching.py:43-65`)."""
-    z = jax.random.normal(rng, mu.shape, dtype=mu.dtype) * temperature
-    return SOLVERS[solver](estimator, z, mask, mu, n_timesteps)
+    """Generate a mel from noise given the aligned condition (`flow_matching.py:43-65`).
+
+    `z` optionally injects the PRE-temperature standard-normal noise (shape of `mu`)
+    instead of sampling it from `rng` — used for deterministic serving and for
+    cross-framework parity tests that must start both ODE solves from identical
+    state (the reference samples with torch.randn_like, `flow_matching.py:60`,
+    which no JAX PRNG can reproduce).
+    """
+    if z is None:
+        z = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
+    z = z * temperature
+    return SOLVERS[solver](estimator, z.astype(mu.dtype), mask, mu, n_timesteps)

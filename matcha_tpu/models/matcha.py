@@ -190,8 +190,14 @@ class MatchaTTS(nn.Module):
         n_timesteps: int,
         temperature: float = 1.0,
         seq_axis: Optional[str] = None,
+        z: Optional[jnp.ndarray] = None,
     ):
         """Stage 2: alignment + ODE decode at a static frame budget `y_max_length`.
+
+        `z`: optional (B, y_max_length, n_feats) pre-temperature standard-normal
+        noise. When given, the "noise" rng collection is not consumed —
+        deterministic decode for serving and for parity tests against the torch
+        oracle (which cannot share a PRNG with JAX).
 
         `y_max_length` must be a multiple of 2**decoder downsamples
         (fix_len_compatibility, `matcha_tts.py:222`).
@@ -224,9 +230,13 @@ class MatchaTTS(nn.Module):
         estimator = lambda xt, m, mu, t: self.decoder(
             xt, m, mu, t, deterministic=True, seq_axis=seq_axis
         )
-        rng = self.make_rng("noise") if not self.is_initializing() else jax.random.PRNGKey(0)
+        if z is None:
+            rng = self.make_rng("noise") if not self.is_initializing() else jax.random.PRNGKey(0)
+        else:
+            rng = None
         dec = sample_cfm(
-            estimator, rng, mu_y, y_mask, n_timesteps, temperature, solver=cfg.solver
+            estimator, rng, mu_y, y_mask, n_timesteps, temperature, solver=cfg.solver,
+            z=z,
         )
         dec = dec * y_mask
         mel = dec * cfg.mel_std + cfg.mel_mean  # denormalize (`matcha_tts.py:242`)
@@ -247,12 +257,13 @@ class MatchaTTS(nn.Module):
         temperature: float = 1.0,
         length_scale: float = 1.0,
         seq_axis: Optional[str] = None,
+        z: Optional[jnp.ndarray] = None,
     ):
         """Fully-jitted text -> mel at a static frame budget (`matcha_tts.py:179-245`)."""
         mu_x, w_ceil, x_mask, y_lengths = self.encode_durations(x, x_lengths, length_scale)
         return self.decode_fixed(
             mu_x, w_ceil, x_mask, y_lengths, y_max_length, n_timesteps, temperature,
-            seq_axis=seq_axis,
+            seq_axis=seq_axis, z=z,
         )
 
     def __call__(self, x, x_lengths, y, y_lengths):

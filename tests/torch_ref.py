@@ -381,6 +381,87 @@ class TorchMatcha(nn.Module):
         self.decoder = CFMWrap()
 
 
+# ------------------------------------------------------- full synthesise chain
+def torch_sequence_mask(lengths, max_length):
+    return torch.arange(max_length)[None, :] < lengths[:, None]
+
+
+def torch_fix_len_compatibility(length, num_downsamplings=2):
+    """Round up to a multiple of 2**num_downsamplings (`matcha/utils/model.py:37`)."""
+    factor = 2**num_downsamplings
+    return int(math.ceil(length / factor) * factor)
+
+
+def torch_generate_path(duration, mask):
+    """Duration -> 0/1 monotone path (`matcha/utils/model.py:77`).
+
+    duration: (B, Tx) float frame counts; mask: (B, Tx, Ty).
+    """
+    b, t_x, t_y = mask.shape
+    cum = torch.cumsum(duration, -1)
+    frames = torch.arange(t_y)
+    cum_mask = (frames[None, None, :] < cum[:, :, None]).float()
+    path = cum_mask - F.pad(cum_mask, (0, 0, 1, 0))[:, :-1, :]
+    return path * mask
+
+
+def torch_synthesise(encoder, estimator, x, x_lengths, n_timesteps, z,
+                     temperature=1.0, length_scale=1.0, y_max_length_=None):
+    """Reference `MatchaTTS.synthesise` semantics with injected pre-temperature noise.
+
+    Reproduces the full inference chain of `matcha/models/matcha_tts.py:179-245`
+    (w = exp(logw)*mask, w_ceil = ceil(w) * length_scale APPLIED AFTER CEIL,
+    y_lengths = clamp_min(sum w_ceil, 1), pad to a multiple of 4, generate_path,
+    mu_y = attn^T mu_x) followed by the Euler ODE loop of
+    `flow_matching.py:67-104` (t_span = linspace(0, 1, n+1), x <- x + dt*v).
+
+    z: (B, n_feats, T_pad) standard-normal noise, multiplied by `temperature` here
+    exactly as `flow_matching.py:60` does. `y_max_length_` optionally pins the
+    padded frame budget (must be >= fix_len_compatibility(max y_length) and a
+    multiple of 4); defaults to the data-derived reference value.
+
+    Returns dict with UNCROPPED (T_pad) outputs so shapes match the static-budget
+    JAX side; padding frames of `decoder_outputs` hold raw noise (the reference
+    never masks the running ODE state — only the estimator output is masked), so
+    comparisons must apply `y_mask`.
+    """
+    with torch.no_grad():
+        mu_x, logw, x_mask = encoder(x, x_lengths)
+        w = torch.exp(logw) * x_mask
+        w_ceil = torch.ceil(w) * length_scale
+        y_lengths = torch.clamp_min(torch.sum(w_ceil, [1, 2]), 1).long()
+        y_max_length = int(y_lengths.max())
+        if y_max_length_ is None:
+            y_max_length_ = torch_fix_len_compatibility(y_max_length)
+        assert y_max_length_ >= y_max_length and y_max_length_ % 4 == 0
+
+        y_mask = torch_sequence_mask(y_lengths, y_max_length_).unsqueeze(1).to(x_mask.dtype)
+        attn_mask = x_mask.unsqueeze(-1) * y_mask.unsqueeze(2)
+        attn = torch_generate_path(w_ceil.squeeze(1), attn_mask.squeeze(1))
+        mu_y = torch.matmul(attn.transpose(1, 2), mu_x.transpose(1, 2)).transpose(1, 2)
+
+        assert z.shape == mu_y.shape
+        xcur = z * temperature
+        t_span = torch.linspace(0, 1, n_timesteps + 1)
+        t = t_span[0]
+        dt = t_span[1] - t_span[0]
+        for step in range(1, len(t_span)):
+            v = estimator(xcur, y_mask, mu_y, torch.full((xcur.shape[0],), float(t)))
+            xcur = xcur + dt * v
+            t = t + dt
+            if step < len(t_span) - 1:
+                dt = t_span[step + 1] - t
+
+        return {
+            "encoder_outputs": mu_y,
+            "decoder_outputs": xcur,
+            "attn": attn,
+            "y_mask": y_mask,
+            "mel_lengths": y_lengths,
+            "y_max_length_": y_max_length_,
+        }
+
+
 # ---------------------------------------------------------------------- hifigan
 class TorchResBlock1(nn.Module):
     def __init__(self, ch, k, dilations=(1, 3, 5)):

@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--synthetic", action="store_true",
                     help="train on the synthetic dataset (smoke runs, no LJSpeech needed)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="reduced-width model + small synthetic dataset: validates "
+                         "bring-up (multi-host wiring, mesh, checkpoints) without "
+                         "full-size compute; implies --synthetic")
     ap.add_argument("--mas-impl", default="auto", choices=["auto", "pallas", "ref"])
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
@@ -38,7 +42,8 @@ def main():
     ap.add_argument("--steps-per-dispatch", type=int, default=1,
                     help="run K gradient steps per device dispatch (lax.scan over "
                          "stacked same-shape batches) — amortizes host dispatch "
-                         "latency; per-step math and rng stream are unchanged")
+                         "latency; rng key sequence is identical to K=1, updates "
+                         "equal within AdamW fusion tolerance")
     args = ap.parse_args()
 
     from matcha_tpu.data.dataset import DataConfig, SyntheticDataset, TextMelDataset
@@ -48,7 +53,18 @@ def main():
 
     init_distributed()
 
-    if args.synthetic:
+    model_cfg = None
+    if args.tiny:
+        from matcha_tpu.audio.mel import MelConfig
+        from matcha_tpu.models.matcha import tiny_config
+
+        model_cfg = tiny_config()
+        mel_cfg = MelConfig(n_mels=model_cfg.n_feats)
+        train_ds = SyntheticDataset(n_items=16, mel_cfg=mel_cfg, seed=0,
+                                    min_frames=64, max_frames=96)
+        val_ds = SyntheticDataset(n_items=8, mel_cfg=mel_cfg, seed=1,
+                                  min_frames=64, max_frames=96)
+    elif args.synthetic:
         train_ds = SyntheticDataset(n_items=256, seed=0)
         val_ds = SyntheticDataset(n_items=32, seed=1)
     else:
@@ -60,13 +76,20 @@ def main():
         train_ds = TextMelDataset(train_txt)
         val_ds = TextMelDataset(val_txt)
 
+    trainer_kwargs = {}
+    if model_cfg is not None:
+        trainer_kwargs["model_cfg"] = model_cfg
+    data_cfg = (DataConfig(batch_size=args.batch_size, text_pad_multiple=16,
+                           mel_pad_multiple=16)
+                if args.tiny else DataConfig(batch_size=args.batch_size))
     trainer = Trainer(
         train_cfg=TrainConfig(ckpt_dir=args.ckpt_dir, max_epochs=args.max_epochs,
                               mas_impl=args.mas_impl, precision=args.precision,
                               profile_dir=args.profile, out_size=args.out_size,
                               steps_per_dispatch=args.steps_per_dispatch),
-        data_cfg=DataConfig(batch_size=args.batch_size),
+        data_cfg=data_cfg,
         mesh=make_mesh(model=args.tp),
+        **trainer_kwargs,
     )
     trainer.fit(train_ds, val_ds, max_epochs=args.max_epochs, resume=not args.no_resume)
 

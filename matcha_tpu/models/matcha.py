@@ -277,6 +277,24 @@ def create_model(cfg: MatchaConfig = MatchaConfig()):
     return MatchaTTS(cfg)
 
 
+def tiny_config(n_feats: int = 8) -> MatchaConfig:
+    """Reduced-width config for bring-up smoke runs (cli.train --tiny) and tests.
+
+    Same topology as the reference defaults (prenet + transformer encoder,
+    down/mid/up U-Net) at widths small enough to train on a CPU host in seconds —
+    used to validate distributed wiring (mesh bring-up, multi-process collectives,
+    checkpoint layout) without full-size compute.
+    """
+    return MatchaConfig(
+        n_feats=n_feats,
+        encoder=EncoderConfig(n_feats=n_feats, n_channels=16, filter_channels=32,
+                              n_heads=2, n_layers=1, filter_channels_dp=16),
+        decoder=DecoderConfig(in_channels=2 * n_feats, out_channels=n_feats,
+                              channels=(16, 16), attention_head_dim=8, num_heads=2,
+                              num_mid_blocks=1),
+    )
+
+
 def init_params(model: MatchaTTS, rng: jax.Array, tx: int = 16, ty: int = 32):
     """Initialize a parameter pytree with tiny dummy shapes.
 

@@ -17,14 +17,49 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def init_distributed():
-    """Initialize the JAX distributed runtime when running multi-host.
+_distributed_initialized = False
 
-    No-op on a single host. Env-driven (JAX_COORDINATOR_ADDRESS etc.), matching
-    standard TPU pod bring-up.
+
+def init_distributed() -> bool:
+    """Join the JAX distributed runtime when multi-host env vars are present.
+
+    `jax.distributed.initialize()` must run BEFORE any backend-touching call
+    (`jax.devices()`, `jax.process_count()`, any dispatch), so the guard here is
+    purely environmental — it must never query the backend to decide:
+
+      * `JAX_COORDINATOR_ADDRESS` set -> manual bring-up; `JAX_NUM_PROCESSES` and
+        `JAX_PROCESS_ID` (when set) are passed through explicitly. This is the
+        path a pod launcher exporting per-worker env vars uses, and the path
+        tests/test_multihost.py::test_cli_bringup_two_processes drives end-to-end
+        through the training CLI.
+      * `MATCHA_DISTRIBUTED=1` -> defer entirely to JAX's own cluster
+        auto-detection (TPU pod metadata, SLURM, ...).
+
+    Idempotent within a process; no-op single host. Returns True iff this call
+    performed the initialization.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    global _distributed_initialized
+    if _distributed_initialized:
+        return False
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not (addr or os.environ.get("MATCHA_DISTRIBUTED")):
+        return False
+    if os.environ.get("JAX_PLATFORMS"):
+        # The axon TPU plugin swallows the JAX_PLATFORMS env var, and with it set
+        # (but not config-applied) the distributed join silently degrades to a
+        # single-process runtime. Re-apply via jax.config — only possible before
+        # backend init, which is exactly when this function runs.
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    kwargs = {}
+    if addr:
+        kwargs["coordinator_address"] = addr
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+    return True
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:

@@ -134,3 +134,59 @@ def test_two_process_training_agrees(tmp_path):
     assert len(index["entries"]) == 1
     np.testing.assert_allclose(index["entries"][0]["val_loss"], rows0[0]["val/loss"],
                                rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_cli_bringup_two_processes(tmp_path):
+    """Multi-host bring-up through the REAL CLI path a pod launcher would use.
+
+    Unlike test_two_process_training_agrees (which calls
+    `jax.distributed.initialize` inline), the workers here run
+    `python -m matcha_tpu.cli.train --tiny` with only coordinator env vars set —
+    covering `matcha_tpu.parallel.init_distributed`'s env-guarded bring-up
+    (called before any backend-touching JAX call, cli/train.py) end to end.
+    A rank-1 metrics file proves the processes actually joined one 2-process
+    runtime rather than each running standalone as rank 0.
+    """
+    port = _free_port()
+    workdir = str(tmp_path / "ck")
+    repo = str(Path(__file__).resolve().parent.parent)
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("JAX_NUM_CPU_DEVICES", None)
+        env.pop("PYTEST_CURRENT_TEST", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "matcha_tpu.cli.train", "--tiny",
+             "--ckpt-dir", workdir, "--batch-size", "2", "--max-epochs", "1",
+             "--mas-impl", "ref", "--no-resume"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+            cwd=repo,
+        ))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"CLI worker {pid} failed:\n{out[-4000:]}"
+
+    rows0 = _val_rows(Path(workdir) / "logs" / "metrics.jsonl")
+    rows1 = _val_rows(Path(workdir) / "logs" / "metrics_rank1.jsonl")
+    assert len(rows0) == len(rows1) == 1
+    for k in ("val/loss", "val/dur_loss", "val/prior_loss", "val/diff_loss"):
+        np.testing.assert_allclose(rows0[0][k], rows1[0][k], rtol=1e-6,
+                                   err_msg=f"hosts disagree on {k}")
+    # 16 items / (2 per-host batch * 2 hosts) = 4 global steps
+    assert rows0[0]["step"] == rows1[0]["step"] == 4
+    assert (Path(workdir) / "index.json").exists()

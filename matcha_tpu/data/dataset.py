@@ -230,6 +230,29 @@ def collate(items: List[dict], cfg: DataConfig, shape: Optional[Tuple[int, int]]
     return {"x": x, "x_lengths": xl, "y": y, "y_lengths": yl}
 
 
+def num_batches(n_items: int, cfg: DataConfig, process_count: int = 1,
+                drop_last: bool = True) -> int:
+    """Exact per-epoch batch count of `batch_iterator` for a dataset of n_items.
+
+    The iterator's schedule is deterministic: items are cut into sort windows of
+    `global_bs * 16`, each window yields `len // global_bs` full batches plus (when
+    drop_last=False) one wrap-padded remainder batch. Independent of the shuffle
+    permutation. The lr schedule derives steps_per_epoch from THIS (not the naive
+    `n // batch` which ignores per-window remainder drops) so the per-epoch cosine
+    boundary lands exactly on the iterator's epoch boundary — the reference uses a
+    per-epoch torch CosineAnnealingLR (`baselightningmodule.py:60-92`).
+    """
+    global_bs = cfg.batch_size * process_count
+    window = global_bs * 16
+    total = 0
+    for start in range(0, n_items, window):
+        chunk = min(window, n_items - start)
+        total += chunk // global_bs
+        if not drop_last and chunk % global_bs:
+            total += 1
+    return total
+
+
 def batch_iterator(
     dataset,
     cfg: DataConfig,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from matcha_tpu.data.dataset import DataConfig, batch_iterator
+from matcha_tpu.data.dataset import DataConfig, batch_iterator, num_batches
 from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
 from matcha_tpu.parallel import make_mesh, put_global_batch, shard_params
 
@@ -63,8 +63,9 @@ class TrainConfig:
     # K>1: run K gradient steps per device dispatch via lax.scan over a stacked
     # (K, B, ...) superbatch of identically-shaped bucket batches. Amortizes host
     # dispatch latency (~28 ms/step through a remote-device tunnel) over K steps;
-    # same-shape batches are grouped within an epoch (order across buckets changes,
-    # per-step math and the RNG stream do not — see test_scan_dispatch_equivalence).
+    # same-shape batches are grouped within an epoch (order across buckets changes;
+    # the rng KEY SEQUENCE does not, and per-step updates match K=1 within AdamW
+    # fusion tolerance — see test_scan_dispatch_equals_sequential_steps).
     steps_per_dispatch: int = 1
 
 
@@ -184,6 +185,12 @@ def chunk_batches_by_shape(batches, k: int):
     ACROSS buckets within an epoch — each gradient step still sees exactly one
     original batch, and the grouping is identical on every host because the input
     schedule is (matcha_tpu.data.dataset.batch_iterator's multi-host contract).
+
+    Because rng keys are consumed in the REORDERED order, the batch->key pairing
+    (and thus the exact training trajectory) matches steps_per_dispatch=1 only when
+    all batches share one bucket shape (e.g. fixed-segment vocoder training); with
+    multiple bucket shapes the trajectories are statistically equivalent but not
+    bitwise-reproducible across K settings.
     """
     pending: dict = {}
     for b in batches:
@@ -291,7 +298,11 @@ class Trainer:
     def fit(self, train_ds, val_ds, max_epochs: Optional[int] = None, resume: bool = True):
         cfg = self.train_cfg
         max_epochs = max_epochs if max_epochs is not None else cfg.max_epochs
-        steps_per_epoch = max(len(train_ds) // (self.data_cfg.batch_size * jax.process_count()), 1)
+        # exact iterator batch count (incl. per-window remainder drops), so the
+        # per-epoch cosine boundary matches the actual epoch length
+        steps_per_epoch = max(
+            num_batches(len(train_ds), self.data_cfg, jax.process_count()), 1
+        )
 
         params, opt_state, tx = self.init_state(steps_per_epoch)
         step, start_epoch = 0, 0

@@ -7,6 +7,7 @@ from matcha_tpu.data.dataset import (
     SyntheticDataset,
     batch_iterator,
     collate,
+    num_batches,
 )
 from matcha_tpu.data.ljspeech import process_csv
 
@@ -150,3 +151,29 @@ def test_textmel_dataset_real_wavs(tmp_path):
         ])
     assert len(shapes[0]) == len(shapes[1]) == 3
     assert [s[1] for s in shapes[0]] == [s[1] for s in shapes[1]]
+
+
+def test_num_batches_matches_iterator_exactly():
+    """The lr schedule's steps_per_epoch must equal the iterator's REAL batch count.
+
+    Covers the drop_last remainder case the naive `n // batch` formula gets wrong:
+    remainders are dropped PER sort window (window = global_bs * 16), so a dataset
+    spanning several windows can lose more than one partial batch per epoch.
+    """
+    cfg = DataConfig(batch_size=4)
+    # n values chosen to hit: exact multiple, sub-window remainder, multi-window
+    # with per-window remainders, single short window
+    for n in (16, 17, 63, 64, 65, 130, 3):
+        ds = SyntheticDataset(n_items=n, min_frames=40, max_frames=120)
+        for process_count in (1, 2):
+            if n < cfg.batch_size * process_count:
+                continue
+            for drop_last in (True, False):
+                got = sum(
+                    1 for _ in batch_iterator(
+                        ds, cfg, epoch=1, process_count=process_count,
+                        drop_last=drop_last,
+                    )
+                )
+                want = num_batches(n, cfg, process_count, drop_last=drop_last)
+                assert got == want, (n, process_count, drop_last, got, want)

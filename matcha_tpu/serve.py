@@ -14,11 +14,31 @@ static-shape design as `cli/generate`:
   * optional bf16 serving (params + activations; ~2.7x the fp32 throughput on v5e,
     see bench.py `bf16_x_realtime`) and either vocoder.
 
+Concurrency contract:
+  * `synthesise` is THREAD-SAFE: an internal lock serializes the rng split and the
+    whole dispatch sequence, so concurrent callers never interleave device calls
+    and (with an explicit `seed`/`seeds`) get deterministic outputs;
+  * `serve(text, seed)` is the high-throughput concurrent entry point: requests
+    from many threads are queued and batched (up to `max_batch`, waiting at most
+    `max_wait_ms` for co-arriving requests) by a background worker started with
+    `start_batching()`. Each request's waveform is a function of (text, seed,
+    its own mel budget) ONLY — per-sample noise is drawn from the request seed via
+    the z-injection seam and decode groups are keyed by budget — so a request's
+    output does not depend on what it was batched with, up to XLA batch-fusion
+    ulps (batch-1 and batch-N graphs fuse differently; test_serve.py asserts
+    threaded == solo at 1e-3 waveform tolerance, the ulp drift after Griffin-Lim's
+    32 phase-recovery iterations).
+
 Usage:
     engine = TTSEngine(params, vocoder="hifigan", vocoder_params=gparams)
     wavs, info = engine.synthesise(["Hello there.", "Flow matching is fast."])
+    # or concurrent serving:
+    engine.start_batching(max_wait_ms=5)
+    wav, info = engine.serve("Hello there.", seed=123)   # from any thread
 """
 
+import threading
+import time
 from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
 
@@ -50,6 +70,23 @@ class ServeConfig:
     bf16: bool = False
     vocoder: str = "griffin_lim"  # or "hifigan"
     mel_cfg: MelConfig = field(default_factory=MelConfig)
+    # batching front-end: how long the worker waits for co-arriving requests
+    # before dispatching a partial batch
+    max_wait_ms: float = 5.0
+
+
+class _Request:
+    """One queued `serve()` call: text + seed in, waveform (or error) out."""
+
+    __slots__ = ("text", "seed", "event", "wav", "info", "error")
+
+    def __init__(self, text: str, seed: int):
+        self.text = text
+        self.seed = seed
+        self.event = threading.Event()
+        self.wav = None
+        self.info = None
+        self.error = None
 
 
 class TTSEngine:
@@ -85,10 +122,21 @@ class TTSEngine:
         else:
             self._gen = None
 
+        # serializes rng state mutation and device dispatch sequences: concurrent
+        # synthesise() callers never interleave their encode/decode/vocode calls
+        self._lock = threading.Lock()
+        # batching front-end state (started on demand via start_batching)
+        self._pending: list = []
+        self._pending_cv = threading.Condition()
+        self._worker: Optional[threading.Thread] = None
+        self._stop_worker = False
+
         # jitted stages (compiled per static shape, cached across calls)
         self._encode = jax.jit(self._encode_impl)
         self._decode = jax.jit(self._decode_impl, static_argnames=("budget",))
         self._vocode = jax.jit(self._vocode_impl)
+        self._draw_z = jax.jit(self._draw_z_impl, static_argnames=("budget",))
+        self._vocode_seeded = jax.jit(self._vocode_seeded_impl)
 
     # ------------------------------------------------------------- jit bodies
     def _encode_impl(self, params, x, xl):
@@ -97,13 +145,23 @@ class TTSEngine:
             method=MatchaTTS.encode_durations,
         )
 
-    def _decode_impl(self, params, mu_x, w_ceil, x_mask, y_lengths, key, *, budget):
+    def _decode_impl(self, params, mu_x, w_ceil, x_mask, y_lengths, key, *,
+                     budget, z=None):
         out = self.model.apply(
             {"params": params}, mu_x, w_ceil, x_mask, y_lengths, budget,
-            self.cfg.n_timesteps, self.cfg.temperature,
+            self.cfg.n_timesteps, self.cfg.temperature, z=z,
             method=MatchaTTS.decode_fixed, rngs={"noise": key},
         )
         return out["mel"], out["mel_lengths"]
+
+    def _draw_z_impl(self, keys, *, budget):
+        """Per-sample standard-normal decode noise from per-request PRNG keys.
+
+        keys: (B,) stacked PRNGKeys -> (B, budget, n_feats). Row i depends only on
+        keys[i] (vmap), so a request's noise is independent of its batch mates.
+        """
+        nf = self.model.cfg.n_feats
+        return jax.vmap(lambda k: jax.random.normal(k, (budget, nf)))(keys)
 
     def _vocode_impl(self, mel, key):
         if self._gen is not None:
@@ -111,6 +169,19 @@ class TTSEngine:
         from matcha_tpu.audio.griffin_lim import mel_to_audio
 
         return mel_to_audio(self.cfg.mel_cfg, jnp.swapaxes(mel, -1, -2), rng=key)
+
+    def _vocode_seeded_impl(self, mel, keys):
+        """Per-sample-deterministic vocode: HiFi-GAN has no rng; Griffin-Lim draws
+        its phase init per sample from that sample's key (vmap) instead of one
+        batch-shaped draw, so sample i's waveform is batch-composition-independent."""
+        if self._gen is not None:
+            return jnp.clip(self._gen.apply({"params": self._gen_params}, mel), -1, 1)
+        from matcha_tpu.audio.griffin_lim import mel_to_audio
+
+        return jax.vmap(
+            lambda m, k: mel_to_audio(self.cfg.mel_cfg, jnp.swapaxes(m, -1, -2)[None],
+                                      rng=k)[0]
+        )(mel, keys)
 
     # ------------------------------------------------------------------- API
     def _tokenize(self, texts: Sequence[str]):
@@ -147,27 +218,52 @@ class TTSEngine:
                                       budget=budget)
                 jax.block_until_ready(self._vocode(mel, self._rng))
 
-    def synthesise(self, texts: Sequence[str], seed: Optional[int] = None):
-        """Batch of texts -> (list of float32 waveforms, info dict)."""
-        import time
+    def synthesise(self, texts: Sequence[str], seed: Optional[int] = None,
+                   seeds: Optional[Sequence[int]] = None):
+        """Batch of texts -> (list of float32 waveforms, info dict). Thread-safe.
 
+        `seed`: one seed for the whole batch (one noise draw shaped over the batch
+        — output depends on batch composition, like the reference's synthesise).
+        `seeds`: one seed PER text — decode noise and Griffin-Lim phase are drawn
+        per sample from that sample's seed, so each waveform depends only on
+        (text, seed, budget), not on batch mates. This is the batching front-end's
+        determinism mode.
+        """
         cfg = self.cfg
         if len(texts) == 0:
             return [], {"rtf": float("nan"), "budget": 0}
         if len(texts) > cfg.max_batch:
             raise ValueError(f"batch of {len(texts)} exceeds max_batch={cfg.max_batch}")
-        key = jax.random.PRNGKey(seed) if seed is not None else self._next_key()
+        if seeds is not None and len(seeds) != len(texts):
+            raise ValueError("seeds must have one entry per text")
 
-        t0 = time.perf_counter()
-        x, xl = self._tokenize(texts)
-        mu_x, w_ceil, x_mask, y_lengths = self._encode(self.params, x, xl)
-        max_frames = int(np.asarray(y_lengths).max())
-        budget = self._pick_budget(fix_len_compatibility(max_frames))
-        mel, mel_lengths = self._decode(self.params, mu_x, w_ceil, x_mask,
-                                        jnp.minimum(y_lengths, budget), key,
-                                        budget=budget)
-        wav = np.asarray(self._vocode(mel, key))
-        wall = time.perf_counter() - t0
+        with self._lock:
+            if seeds is not None:
+                key = None
+            else:
+                key = jax.random.PRNGKey(seed) if seed is not None else self._next_key_locked()
+
+            t0 = time.perf_counter()
+            x, xl = self._tokenize(texts)
+            mu_x, w_ceil, x_mask, y_lengths = self._encode(self.params, x, xl)
+            max_frames = int(np.asarray(y_lengths).max())
+            budget = self._pick_budget(fix_len_compatibility(max_frames))
+            if seeds is not None:
+                z_keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+                gl_keys = jax.vmap(jax.random.fold_in)(
+                    z_keys, jnp.ones(len(seeds), jnp.uint32))
+                z = self._draw_z(z_keys, budget=budget)
+                mel, mel_lengths = self._decode(self.params, mu_x, w_ceil, x_mask,
+                                                jnp.minimum(y_lengths, budget),
+                                                jax.random.PRNGKey(0), budget=budget,
+                                                z=z)
+                wav = np.asarray(self._vocode_seeded(mel, gl_keys))
+            else:
+                mel, mel_lengths = self._decode(self.params, mu_x, w_ceil, x_mask,
+                                                jnp.minimum(y_lengths, budget), key,
+                                                budget=budget)
+                wav = np.asarray(self._vocode(mel, key))
+            wall = time.perf_counter() - t0
 
         hop, sr = self.cfg.mel_cfg.hop_size, self.cfg.mel_cfg.sample_rate
         lengths = np.asarray(mel_lengths)
@@ -179,6 +275,124 @@ class TTSEngine:
                 "wall_s": wall, "mel_lengths": lengths.tolist()}
         return wavs, info
 
-    def _next_key(self):
+    def _next_key_locked(self):
+        """Split the engine rng; caller must hold self._lock."""
         self._rng, key = jax.random.split(self._rng)
         return key
+
+    def _next_key(self):
+        with self._lock:
+            return self._next_key_locked()
+
+    # --------------------------------------------------- batching front-end
+    def start_batching(self, max_wait_ms: Optional[float] = None):
+        """Start the background worker that batches concurrent `serve()` calls."""
+        wait_s = (max_wait_ms if max_wait_ms is not None else self.cfg.max_wait_ms) / 1e3
+        with self._pending_cv:
+            if self._worker is not None and self._worker.is_alive():
+                return
+            self._stop_worker = False
+            self._worker = threading.Thread(
+                target=self._batch_worker, args=(wait_s,), daemon=True,
+                name="tts-batch-worker",
+            )
+            self._worker.start()
+
+    def stop_batching(self):
+        with self._pending_cv:
+            self._stop_worker = True
+            self._pending_cv.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout=30)
+            self._worker = None
+
+    def serve(self, text: str, seed: int):
+        """Thread-safe single-utterance entry: enqueue, batch with concurrent
+        requests, block until this request's waveform is ready.
+
+        Returns (waveform, info). Deterministic: output depends only on
+        (text, seed, mel budget) — see module docstring."""
+        if self._worker is None or not self._worker.is_alive():
+            raise RuntimeError("batching worker not running — call start_batching()")
+        req = _Request(text, int(seed))
+        with self._pending_cv:
+            self._pending.append(req)
+            self._pending_cv.notify_all()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.wav, req.info
+
+    def _batch_worker(self, wait_s: float):
+        while True:
+            with self._pending_cv:
+                while not self._pending and not self._stop_worker:
+                    self._pending_cv.wait()
+                if self._stop_worker and not self._pending:
+                    return
+                # max-wait batching: give co-arriving requests a window to join
+                deadline = time.monotonic() + wait_s
+                while len(self._pending) < self.cfg.max_batch and not self._stop_worker:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._pending_cv.wait(remaining)
+                reqs = self._pending[: self.cfg.max_batch]
+                del self._pending[: len(reqs)]
+            try:
+                self._process_group(reqs)
+            except Exception as e:  # fail the whole group, keep the worker alive
+                for r in reqs:
+                    r.error = e
+                    r.event.set()
+
+    def _process_group(self, reqs):
+        """Encode a group of requests together, decode per mel-budget sub-group.
+
+        Per-request determinism: each request's decode noise/GL phase comes from
+        its own seed (`seeds=` mode of the jit bodies) and its budget from its OWN
+        predicted length — so joining a group changes neither. Sub-group batches
+        are padded to the next power of two (by repeating row 0) to bound the set
+        of compiled (batch, budget) decode graphs.
+        """
+        t0 = time.perf_counter()
+        with self._lock:
+            x, xl = self._tokenize([r.text for r in reqs])
+            mu_x, w_ceil, x_mask, y_lengths = self._encode(self.params, x, xl)
+            y_np = np.asarray(y_lengths)
+            budgets = [self._pick_budget(fix_len_compatibility(int(f))) for f in y_np]
+            by_budget: dict = {}
+            for i, b in enumerate(budgets):
+                by_budget.setdefault(b, []).append(i)
+
+            hop, sr = self.cfg.mel_cfg.hop_size, self.cfg.mel_cfg.sample_rate
+            for budget, idx in sorted(by_budget.items()):
+                n = len(idx)
+                padded_n = 1 << (n - 1).bit_length()  # next pow2, bounds compiles
+                take = np.asarray(idx + [idx[0]] * (padded_n - n))
+                z_keys = jnp.stack(
+                    [jax.random.PRNGKey(reqs[i].seed) for i in idx]
+                    + [jax.random.PRNGKey(reqs[idx[0]].seed)] * (padded_n - n)
+                )
+                gl_keys = jax.vmap(jax.random.fold_in)(
+                    z_keys, jnp.ones(padded_n, jnp.uint32))
+                z = self._draw_z(z_keys, budget=budget)
+                mel, mel_lengths = self._decode(
+                    self.params, jnp.take(mu_x, take, axis=0),
+                    jnp.take(w_ceil, take, axis=0), jnp.take(x_mask, take, axis=0),
+                    jnp.minimum(jnp.take(y_lengths, take), budget),
+                    jax.random.PRNGKey(0), budget=budget, z=z,
+                )
+                wav = np.asarray(self._vocode_seeded(mel, gl_keys))
+                lengths = np.asarray(mel_lengths)
+                wall = time.perf_counter() - t0
+                from matcha_tpu.utils.profiling import rtf
+
+                for j, i in enumerate(idx):
+                    ml = int(lengths[j])
+                    reqs[i].wav = wav[j, : min(ml * hop, wav.shape[1])].astype(np.float32)
+                    reqs[i].info = {
+                        "budget": budget, "mel_length": ml, "wall_s": wall,
+                        "rtf": rtf(wall, ml, hop, sr), "group_size": len(reqs),
+                    }
+                    reqs[i].event.set()

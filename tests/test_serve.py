@@ -102,3 +102,82 @@ def test_engine_hifigan_vocoder_path():
     for wav, ml in zip(wavs, info["mel_lengths"]):
         assert wav.shape[0] == ml * hop
         assert np.abs(wav).max() <= 1.0
+
+
+def test_engine_synthesise_thread_safe(engine):
+    """Concurrent synthesise() callers: the internal lock serializes dispatches, so
+    every threaded result is bit-equal to the same call made sequentially."""
+    import threading
+
+    eng, _ = engine
+    calls = [(["hello world"], 11), (["abc", "de fg"], 22), (["thread safety"], 33)]
+    expected = [eng.synthesise(texts, seed=s)[0] for texts, s in calls]
+
+    results = [None] * len(calls)
+    errors = []
+
+    def run(i):
+        try:
+            for _ in range(3):  # repeat to increase interleaving pressure
+                results[i] = eng.synthesise(calls[i][0], seed=calls[i][1])[0]
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(len(calls))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for got, want in zip(results, expected):
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+
+def test_serve_batching_deterministic(engine):
+    """Batched concurrent serve(): each request's waveform matches the same
+    (text, seed) synthesised solo — per-request noise via the z seam and
+    per-budget decode groups make outputs batch-composition-independent up to
+    XLA batch-fusion ulps (batch-1 vs batch-N graphs fuse differently; the
+    ~1e-7 mel drift is amplified through Griffin-Lim's 32 phase-projection
+    iterations, hence the 1e-3 waveform tolerance)."""
+    import threading
+
+    eng, _ = engine
+    reqs = [("hello world", 1), ("abc", 2), ("some longer sentence here", 3),
+            ("hi", 4)]
+    # solo references: seeds= mode, one request per batch
+    expected = [eng.synthesise([t], seeds=[s])[0][0] for t, s in reqs]
+
+    eng.start_batching(max_wait_ms=300)  # long window -> requests really group
+    try:
+        results = [None] * len(reqs)
+        infos = [None] * len(reqs)
+        barrier = threading.Barrier(len(reqs))
+
+        def run(i):
+            barrier.wait()
+            results[i], infos[i] = eng.serve(reqs[i][0], seed=reqs[i][1])
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        eng.stop_batching()
+
+    assert any(info["group_size"] > 1 for info in infos), "requests never batched"
+    for (text, seed), got, want in zip(reqs, results, expected):
+        assert got.shape == want.shape, (text, seed)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4,
+                                   err_msg=f"{text!r} seed={seed}")
+
+
+def test_serve_requires_worker(engine):
+    eng, _ = engine
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="start_batching"):
+        eng.serve("hello", seed=0)

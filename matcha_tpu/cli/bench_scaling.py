@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--batch-per-device", type=int, default=4)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force virtual CPU devices")
+    ap.add_argument("--out", help="write the result table to this JSON file")
     args = ap.parse_args()
 
     import jax
@@ -76,11 +77,26 @@ def main():
                         "utterances_per_s": round(utt_s, 2)})
         print(json.dumps(results[-1]))
 
+    efficiency = {}
     if len(results) > 1:
         base = results[0]["utterances_per_s"]
         for r in results[1:]:
             eff = r["utterances_per_s"] / (base * r["devices"])
-            print(json.dumps({"devices": r["devices"], "scaling_efficiency": round(eff, 3)}))
+            efficiency[str(r["devices"])] = round(eff, 3)
+            print(json.dumps({"devices": r["devices"], "scaling_efficiency": eff}))
+
+    if args.out:
+        from pathlib import Path
+
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({
+                "platform": jax.devices()[0].platform,
+                "device_kind": jax.devices()[0].device_kind,
+                "batch_per_device": args.batch_per_device,
+                "results": results,
+                "scaling_efficiency": efficiency,
+            }, f, indent=1)
 
 
 if __name__ == "__main__":

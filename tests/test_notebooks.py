@@ -1,0 +1,46 @@
+"""Execute the example notebooks end-to-end (the reference ships an executed demo
+notebook, `/root/reference/demo_matcha.ipynb`; ours must be proven runnable too).
+
+The two model demos run with MATCHA_DEMO_TINY=1 (a knob inside the notebooks that
+swaps in a tiny config); the text/mel walkthroughs run as-is. Execution is in a
+subprocess kernel, so the CPU platform + compile cache are set via env.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+
+NOTEBOOKS = [
+    "test_text.ipynb",
+    "test_audio_to_Mel.ipynb",
+    "demo_matcha.ipynb",
+    "demo_serving.ipynb",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", NOTEBOOKS)
+def test_notebook_executes(name, tmp_path):
+    env = dict(os.environ)
+    env.update(
+        MATCHA_DEMO_TINY="1",
+        JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+        MPLBACKEND="Agg",
+    )
+    out = tmp_path / name
+    proc = subprocess.run(
+        [sys.executable, "-m", "nbconvert", "--to", "notebook", "--execute",
+         "--output", str(out), str(EXAMPLES / name),
+         "--ExecutePreprocessor.timeout=600"],
+        cwd=tmp_path,  # demo_serving writes wavs into cwd
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, f"{name} failed:\n{proc.stderr[-3000:]}"
+    assert out.exists()

@@ -26,13 +26,17 @@ NOTEBOOKS = [
 @pytest.mark.slow
 @pytest.mark.parametrize("name", NOTEBOOKS)
 def test_notebook_executes(name, tmp_path):
+    repo_root = str(EXAMPLES.parent)
     env = dict(os.environ)
+    # the kernel runs in tmp_path; matcha_tpu is a repo-root package, not installed
+    old_pp = env.get("PYTHONPATH")
     env.update(
         MATCHA_DEMO_TINY="1",
         JAX_PLATFORMS="cpu",
         JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
         JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
         MPLBACKEND="Agg",
+        PYTHONPATH=repo_root + os.pathsep + old_pp if old_pp else repo_root,
     )
     out = tmp_path / name
     proc = subprocess.run(

@@ -65,8 +65,13 @@ def main():
             step = make_train_step(model, tx, train_cfg)
             sb = jax.device_put({k: jnp.asarray(v) for k, v in batch.items()},
                                 batch_sharding(mesh))
-            params, opt_state, m = step(params, opt_state, sb, jax.random.PRNGKey(0))
-            float(m["loss"])  # sync
+            # TWO warm-up steps: the first compiles for device_put input layouts,
+            # the second recompiles for the donated-output layouts the steady
+            # state actually uses — timing after one warm-up would swallow that
+            # second (~minute-scale) compile into the loop
+            for w in range(2):
+                params, opt_state, m = step(params, opt_state, sb, jax.random.PRNGKey(w))
+                float(m["loss"])  # sync
             t0 = time.perf_counter()
             for i in range(args.steps):
                 params, opt_state, m = step(params, opt_state, sb, jax.random.PRNGKey(i))

@@ -44,6 +44,10 @@ def main():
                          "stacked same-shape batches) — amortizes host dispatch "
                          "latency; rng key sequence is identical to K=1, updates "
                          "equal within AdamW fusion tolerance")
+    ap.add_argument("--ckpt-every", type=int, default=1,
+                    help="checkpoint every N epochs (final epoch always saved); "
+                         "raise for long runs where the Orbax write dominates "
+                         "short epochs")
     args = ap.parse_args()
 
     from matcha_tpu.data.dataset import DataConfig, SyntheticDataset, TextMelDataset
@@ -86,7 +90,8 @@ def main():
         train_cfg=TrainConfig(ckpt_dir=args.ckpt_dir, max_epochs=args.max_epochs,
                               mas_impl=args.mas_impl, precision=args.precision,
                               profile_dir=args.profile, out_size=args.out_size,
-                              steps_per_dispatch=args.steps_per_dispatch),
+                              steps_per_dispatch=args.steps_per_dispatch,
+                              ckpt_every_epochs=args.ckpt_every),
         data_cfg=data_cfg,
         mesh=make_mesh(model=args.tp),
         **trainer_kwargs,

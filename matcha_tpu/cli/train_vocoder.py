@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--steps-per-dispatch", type=int, default=1,
                     help="run K GAN steps per device dispatch (lax.scan over a "
                          "stacked segment superbatch) - amortizes dispatch latency")
+    ap.add_argument("--ckpt-every", type=int, default=1,
+                    help="checkpoint every N epochs (final epoch always saved)")
     args = ap.parse_args()
 
     from matcha_tpu.data.audio_dataset import (
@@ -53,7 +55,8 @@ def main():
 
     trainer = VocoderTrainer(
         train_cfg=VocoderTrainConfig(max_epochs=args.epochs, ckpt_dir=args.ckpt_dir,
-                                     steps_per_dispatch=args.steps_per_dispatch),
+                                     steps_per_dispatch=args.steps_per_dispatch,
+                                     ckpt_every_epochs=args.ckpt_every),
         data_cfg=AudioDataConfig(batch_size=args.batch_size, segment_size=args.segment_size),
     )
     trainer.fit(train_ds, val_ds, max_epochs=args.epochs, resume=not args.no_resume)

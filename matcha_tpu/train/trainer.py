@@ -60,6 +60,10 @@ class TrainConfig:
     # window of this many frames per sample (`matcha_tts.py:290-312`; dormant in the
     # reference's own config). Must be a multiple of 2**decoder downsamples.
     out_size: Optional[int] = None
+    # checkpoint every N epochs (final epoch always saved; 1 = reference parity —
+    # Lightning checkpoints per val epoch). Through a high-latency device tunnel
+    # the per-epoch Orbax write can dominate short epochs; raise for long runs.
+    ckpt_every_epochs: int = 1
     # K>1: run K gradient steps per device dispatch via lax.scan over a stacked
     # (K, B, ...) superbatch of identically-shaped bucket batches. Amortizes host
     # dispatch latency (~28 ms/step through a remote-device tunnel) over K steps;
@@ -455,8 +459,10 @@ class Trainer:
                 if jax.process_index() == 0:
                     self._log_validation_images(params_host, val_ds, epoch, step)
                 # every process participates in the distributed Orbax write; the
-                # ranking value agg["loss"] is identical on all hosts (see above)
-                self.checkpoints.save(step, epoch + 1, params, opt_state, agg["loss"])
+                # ranking value agg["loss"] is identical on all hosts (see above).
+                # Cadence-gated (final epoch always saved) — see ckpt_every_epochs.
+                if (epoch + 1) % cfg.ckpt_every_epochs == 0 or epoch + 1 == max_epochs:
+                    self.checkpoints.save(step, epoch + 1, params, opt_state, agg["loss"])
         if profiling:  # run ended before step 4 — close the trace cleanly
             jax.profiler.stop_trace()
         return params, opt_state, step

@@ -64,6 +64,11 @@ class VocoderTrainConfig:
     # segment superbatch). Vocoder batches are all the same static shape, so groups
     # always fill — pure dispatch-latency amortization, no reordering at all.
     steps_per_dispatch: int = 1
+    # checkpoint every N epochs (final epoch always saved). 1 = reference parity
+    # (Lightning saves per val epoch); through a high-latency device tunnel the
+    # per-epoch Orbax write can dominate short epochs (~30 s vs 2.7 s of training
+    # at the synthetic evidence-run scale), so long runs should raise this.
+    ckpt_every_epochs: int = 1
 
 
 class Discriminators(nn.Module):
@@ -348,12 +353,14 @@ class VocoderTrainer:
                 logger.log(step, {"mel_l1": val_loss, "epoch_seconds": time.time() - t0},
                            prefix="val/", epoch=epoch)
 
-                # every process participates in the distributed Orbax write
-                self.checkpoints.save(
-                    step, epoch + 1,
-                    {"gen": gen_p, "disc": disc_p},
-                    {"gen": gen_opt, "disc": disc_opt},
-                    val_loss,
-                )
+                # every process participates in the distributed Orbax write;
+                # cadence-gated (final epoch always saved) — see ckpt_every_epochs
+                if (epoch + 1) % cfg.ckpt_every_epochs == 0 or epoch + 1 == max_epochs:
+                    self.checkpoints.save(
+                        step, epoch + 1,
+                        {"gen": gen_p, "disc": disc_p},
+                        {"gen": gen_opt, "disc": disc_opt},
+                        val_loss,
+                    )
         logger.close()
         return gen_p, disc_p, step

@@ -317,3 +317,26 @@ def test_trainer_fit_steps_per_dispatch(tmp_path):
     trainer2 = Trainer(model_cfg=TINY, train_cfg=train_cfg, data_cfg=data_cfg, mesh=mesh)
     _, _, step2 = trainer2.fit(train_ds, val_ds, max_epochs=2, resume=True)
     assert step2 == 8
+
+
+def test_ckpt_every_epochs_cadence(tmp_path):
+    """ckpt_every_epochs=N saves only on multiples of N plus the final epoch."""
+    from matcha_tpu.audio.mel import MelConfig
+    from matcha_tpu.train.trainer import Trainer
+
+    data_cfg = DataConfig(batch_size=4, text_pad_multiple=16, mel_pad_multiple=16)
+    train_cfg = TrainConfig(
+        ckpt_dir=str(tmp_path / "ckpts"), accumulate_steps=1, mas_impl="ref",
+        log_every=1, log_grad_norm=False, ckpt_every_epochs=2,
+    )
+    mel_cfg = MelConfig(n_mels=TINY.n_feats)
+    train_ds = SyntheticDataset(n_items=8, mel_cfg=mel_cfg, min_frames=16, max_frames=32)
+    val_ds = SyntheticDataset(n_items=4, mel_cfg=mel_cfg, seed=1, min_frames=16, max_frames=32)
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    trainer = Trainer(model_cfg=TINY, train_cfg=train_cfg, data_cfg=data_cfg, mesh=mesh)
+    trainer.fit(train_ds, val_ds, max_epochs=3, resume=False)
+    # 2 steps/epoch: epoch 2 saves at step 4, final epoch 3 (odd) still saves at
+    # step 6; epoch 1 (step 2) must NOT have been saved
+    saved = sorted(p.name for p in (tmp_path / "ckpts").glob("step_*"))
+    assert saved == ["step_000000004", "step_000000006"], saved

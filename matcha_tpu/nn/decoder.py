@@ -42,6 +42,10 @@ class DecoderConfig:
     n_blocks: int = 1
     num_mid_blocks: int = 2
     num_heads: int = 4
+    # "xla": einsum attention (reference-parity default); "pallas": fused VMEM
+    # attention kernel (ops/attention_pallas.py) — the serving hot-path choice;
+    # parameter trees are identical, so the flag can be flipped per deployment
+    attn_impl: str = "xla"
 
 
 def _kaiming_relu():
@@ -188,6 +192,7 @@ class Decoder(nn.Module):
                     attention_head_dim=cfg.attention_head_dim,
                     dropout=cfg.dropout,
                     activation_fn="gelu",
+                    attn_impl=cfg.attn_impl,
                 )(h, m2d, deterministic=deterministic, seq_axis=seq_axis)
             return h
 

@@ -87,6 +87,10 @@ class DiffusersAttention(nn.Module):
     heads: int
     dim_head: int
     dropout: float = 0.0
+    # "xla" einsum path (parity default) or the fused VMEM Pallas kernel
+    # (ops/attention_pallas.py) — identical parameters, softmax accumulated in
+    # f32 instead of bf16 (pinned together in tests/test_attention_pallas.py)
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, attn_bias: Optional[jnp.ndarray], *, deterministic: bool,
@@ -128,6 +132,10 @@ class DiffusersAttention(nn.Module):
                     axis_names={seq_axis},
                 )(q, k, v, bias)
 
+        if out is None and self.attn_impl == "pallas":
+            from matcha_tpu.ops.attention_pallas import fused_attention
+
+            out = fused_attention(q, k, v, attn_bias, scale=float(1.0 / self.dim_head**0.5))
         if out is None:
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
             if attn_bias is not None:
@@ -148,6 +156,7 @@ class BasicTransformerBlock(nn.Module):
     attention_head_dim: int
     dropout: float = 0.0
     activation_fn: str = "gelu"
+    attn_impl: str = "xla"  # see DiffusersAttention.attn_impl
 
     @nn.compact
     def __call__(self, x, attention_mask=None, *, deterministic: bool = True,
@@ -160,7 +169,8 @@ class BasicTransformerBlock(nn.Module):
         """
         h = nn.LayerNorm(epsilon=1e-5)(x)
         x = x + DiffusersAttention(
-            self.dim, self.num_attention_heads, self.attention_head_dim, self.dropout
+            self.dim, self.num_attention_heads, self.attention_head_dim, self.dropout,
+            attn_impl=self.attn_impl,
         )(h, attention_mask, deterministic=deterministic, seq_axis=seq_axis)
 
         h = nn.LayerNorm(epsilon=1e-5)(x)

@@ -1,0 +1,103 @@
+"""Fused (flash-style) attention Pallas kernel for the decoder transformer.
+
+Motivation: on the serving hot path the XLA attention materializes the full
+(B, H, T, T) score tensor through HBM (QK^T write, softmax read/write, AV read).
+A captured device trace of the bf16 batch-128 serving graph (docs/DESIGN.md
+"Profiling") shows that core costing ~30 ms of a ~122 ms dispatch. This kernel
+computes scores -> bias add -> softmax -> AV entirely in VMEM, one (batch, head)
+cell per grid step, writing only the (T, D) output back to HBM.
+
+MEASURED OUTCOME (1x v5e, (128,4,512,64) bf16): 2.96 ms vs XLA's 3.07 ms per
+attention call — parity, not a win. At this geometry the matmuls are
+MXU-starved (D=64 contraction = half the 128-lane systolic width; ~11 TFLOPS
+either way) and XLA's own fusion already keeps the softmax off HBM well enough.
+The kernel is kept as an `attn_impl="pallas"` option (identical parameters,
+numerics pinned to the XLA path in tests) because the trade flips where the
+score tensor stops fitting on-chip caches — longer budgets or wider heads — and
+as the integration point for further kernel work. Default stays "xla".
+
+Semantics match `nn/transformer.py::DiffusersAttention` exactly, including the
+reference's diffusers quirk of adding the RAW (B, T) mask values to the logits
+(`/root/reference/matcha/models/components/transformer.py:297-370` via diffusers
+`Attention.prepare_attention_mask` + `baddbmm(beta=1)` — the 0/1 mask is an
+additive bias, not a -inf fill). Softmax here accumulates in f32 (the XLA path
+exponentiates in bf16); tests pin the two paths together at bf16 tolerance
+(`tests/test_attention_pallas.py`).
+
+VMEM budget per cell: (T, T) f32 scores (4 MB at the 1024-frame budget cap) +
+three (T, D) operands — comfortably inside the ~16 MB/core VMEM.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0]  # (T, D)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    # DEFAULT precision explicitly: the package pins jax_default_matmul_precision
+    # to float32 for reference parity, but Mosaic cannot lower bf16 operands with
+    # an fp32 contract precision ("Bad lhs type"); native bf16 multiply with the
+    # f32 accumulator below is exactly the MXU path this kernel wants.
+    prec = jax.lax.Precision.DEFAULT
+    # scores in f32 on the MXU; never leaves VMEM
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    ) * scale  # (Tq, Tk)
+    s = s + bias_ref[0].astype(jnp.float32)  # (1, Tk) broadcasts over queries
+    # row softmax, f32 accumulation
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused_attention(q, k, v, bias, scale: float, interpret: bool):
+    b, h, t, d = q.shape
+    kern = functools.partial(_attn_kernel, scale=scale)
+    return pl.pallas_call(
+        kern,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0)),
+            # (B, 1, T) so the trailing block dims (1, T) match the array dims
+            # (Pallas TPU requires the last two block dims divisible by (8, 128)
+            # or equal to the array's)
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def fused_attention(q, k, v, bias=None, scale: float = 1.0, interpret=None):
+    """softmax(q @ k^T * scale + bias[:, None, None, :]) @ v, fused in VMEM.
+
+    Args:
+        q, k, v: (B, H, T, D).
+        bias: optional (B, T) additive logit bias (broadcast over heads and
+            query positions — the diffusers key-mask layout).
+        scale: logit scale (1/sqrt(D)).
+        interpret: force Pallas interpreter mode (defaults to True off-TPU).
+    Returns:
+        (B, H, T, D) attention output in q's dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], q.shape[2]), q.dtype)
+    return _fused_attention(q, k, v, bias[:, None, :], float(scale), interpret)

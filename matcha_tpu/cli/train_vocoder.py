@@ -32,6 +32,10 @@ def main():
                          "stacked segment superbatch) - amortizes dispatch latency")
     ap.add_argument("--ckpt-every", type=int, default=1,
                     help="checkpoint every N epochs (final epoch always saved)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny generator/discriminators + 8 synthetic items: "
+                         "multi-host bring-up smoke mode (pairs with JAX_COORDINATOR_"
+                         "ADDRESS env vars, like cli.train --tiny)")
     args = ap.parse_args()
 
     from matcha_tpu.data.audio_dataset import (
@@ -44,7 +48,11 @@ def main():
 
     init_distributed()
 
-    if args.synthetic:
+    if args.tiny:
+        args.synthetic = True
+        train_ds = SyntheticWavDataset(n_items=8, segment_size=args.segment_size)
+        val_ds = SyntheticWavDataset(n_items=4, segment_size=args.segment_size, seed=1)
+    elif args.synthetic:
         train_ds = SyntheticWavDataset(n_items=64, segment_size=args.segment_size)
         val_ds = SyntheticWavDataset(n_items=8, segment_size=args.segment_size, seed=1)
     elif args.data:
@@ -53,11 +61,24 @@ def main():
     else:
         ap.error("provide --data or --synthetic")
 
+    kwargs = {}
+    if args.tiny:
+        from matcha_tpu.models.hifigan import HiFiGANConfig
+        from matcha_tpu.train.vocoder import Discriminators
+
+        kwargs = dict(
+            gen_cfg=HiFiGANConfig(upsample_initial_channel=16),
+            disc=Discriminators(
+                mpd_channels=(4, 8),
+                msd_spec=((8, 15, 1, 1, 7), (8, 41, 4, 4, 20), (8, 5, 1, 1, 2)),
+            ),
+        )
     trainer = VocoderTrainer(
         train_cfg=VocoderTrainConfig(max_epochs=args.epochs, ckpt_dir=args.ckpt_dir,
                                      steps_per_dispatch=args.steps_per_dispatch,
                                      ckpt_every_epochs=args.ckpt_every),
         data_cfg=AudioDataConfig(batch_size=args.batch_size, segment_size=args.segment_size),
+        **kwargs,
     )
     trainer.fit(train_ds, val_ds, max_epochs=args.epochs, resume=not args.no_resume)
 

@@ -190,3 +190,51 @@ def test_cli_bringup_two_processes(tmp_path):
     # 16 items / (2 per-host batch * 2 hosts) = 4 global steps
     assert rows0[0]["step"] == rows1[0]["step"] == 4
     assert (Path(workdir) / "index.json").exists()
+
+
+@pytest.mark.slow
+def test_cli_vocoder_bringup_two_processes(tmp_path):
+    """Vocoder GAN trainer through the same 2-process CLI bring-up path: the
+    wav segment schedule is host-synchronized and per-batch GAN val metrics are
+    global SPMD means, so both ranks must log identical val/mel_l1."""
+    port = _free_port()
+    workdir = str(tmp_path / "vck")
+    repo = str(Path(__file__).resolve().parent.parent)
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("JAX_NUM_CPU_DEVICES", None)
+        env.pop("PYTEST_CURRENT_TEST", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "matcha_tpu.cli.train_vocoder", "--tiny",
+             "--ckpt-dir", workdir, "--batch-size", "2", "--epochs", "1",
+             "--segment-size", "2048", "--no-resume"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+            cwd=repo,
+        ))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"vocoder worker {pid} failed:\n{out[-4000:]}"
+
+    rows0 = _val_rows(Path(workdir) / "logs" / "metrics.jsonl")
+    rows1 = _val_rows(Path(workdir) / "logs" / "metrics_rank1.jsonl")
+    assert len(rows0) == len(rows1) == 1
+    np.testing.assert_allclose(rows0[0]["val/mel_l1"], rows1[0]["val/mel_l1"],
+                               rtol=1e-6, err_msg="hosts disagree on val/mel_l1")
+    # 8 items / (2 per-host batch * 2 hosts) = 2 global GAN steps
+    assert rows0[0]["step"] == rows1[0]["step"] == 2
+    assert (Path(workdir) / "index.json").exists()

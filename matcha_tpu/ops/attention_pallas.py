@@ -7,14 +7,14 @@ A captured device trace of the bf16 batch-128 serving graph (docs/DESIGN.md
 computes scores -> bias add -> softmax -> AV entirely in VMEM, one (batch, head)
 cell per grid step, writing only the (T, D) output back to HBM.
 
-MEASURED OUTCOME (1x v5e, (128,4,512,64) bf16): 2.96 ms vs XLA's 3.07 ms per
-attention call — parity, not a win. At this geometry the matmuls are
-MXU-starved (D=64 contraction = half the 128-lane systolic width; ~11 TFLOPS
-either way) and XLA's own fusion already keeps the softmax off HBM well enough.
-The kernel is kept as an `attn_impl="pallas"` option (identical parameters,
-numerics pinned to the XLA path in tests) because the trade flips where the
-score tensor stops fitting on-chip caches — longer budgets or wider heads — and
-as the integration point for further kernel work. Default stays "xla".
+MEASURED OUTCOME (1x v5e, bf16, per attention call): at the default 512-frame
+budget, parity — 2.96 ms vs XLA's 3.07 ms at (128,4,512,64); the matmuls are
+MXU-starved (D=64 contraction = half the 128-lane systolic width) and XLA's own
+fusion already keeps the softmax off HBM well enough. At the 1024-frame budget
+the VMEM kernel pulls ahead ~6% (3.00 vs 3.19 ms at b=64, 3.23 vs 3.45 ms at
+b=128) as the (T,T) score tensor outgrows what XLA keeps fused on-chip.
+Shipped as the `attn_impl="pallas"` option (identical parameters, numerics
+pinned to the XLA path in tests); default stays "xla" for reference parity.
 
 Semantics match `nn/transformer.py::DiffusersAttention` exactly, including the
 reference's diffusers quirk of adding the RAW (B, T) mask values to the logits

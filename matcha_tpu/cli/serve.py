@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--bf16", action="store_true", help="bf16 serving precision")
     ap.add_argument("--out-dir", default="served_audio")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--concurrent", action="store_true",
+                    help="drive each text as a separate serve() request from its "
+                         "own thread through the batching front-end (max-wait "
+                         "batching, per-request seeds) instead of one synthesise "
+                         "batch — exercises the production concurrent path")
     args = ap.parse_args()
 
     from matcha_tpu.cli.generate import load_params
@@ -57,7 +62,30 @@ def main():
                         max_batch=max(len(args.texts), 16)),
         vocoder_params=vocoder_params,
     )
-    wavs, info = engine.synthesise(args.texts, seed=args.seed)
+    if args.concurrent:
+        import threading
+
+        engine.start_batching()
+        results = [None] * len(args.texts)
+
+        def run(i):
+            results[i] = engine.serve(args.texts[i], seed=args.seed + i)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(args.texts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        engine.stop_batching()
+        wavs = [w for w, _ in results]
+        infos = [inf for _, inf in results]
+        info = {"budget": max(i["budget"] for i in infos),
+                "wall_s": max(i["wall_s"] for i in infos),
+                "rtf": sum(i["rtf"] for i in infos) / len(infos)}
+        print(f"concurrent: group sizes {[i['group_size'] for i in infos]}")
+    else:
+        wavs, info = engine.synthesise(args.texts, seed=args.seed)
 
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -66,10 +66,11 @@ class TrainConfig:
     ckpt_every_epochs: int = 1
     # K>1: run K gradient steps per device dispatch via lax.scan over a stacked
     # (K, B, ...) superbatch of identically-shaped bucket batches. Amortizes host
-    # dispatch latency (~28 ms/step through a remote-device tunnel) over K steps;
-    # same-shape batches are grouped within an epoch (order across buckets changes;
-    # the rng KEY SEQUENCE does not, and per-step updates match K=1 within AdamW
-    # fusion tolerance — see test_scan_dispatch_equals_sequential_steps).
+    # dispatch latency (~28 ms/step through a remote-device tunnel) over K steps.
+    # K is a pure performance knob: batches execute in a K-independent window-sorted
+    # order and each batch's rng key is derived from its epoch index (fold_in), so
+    # the training trajectory is identical across K settings up to XLA scan-body
+    # fusion ulps (test_k_dispatch_trajectory_bucket_independent).
     steps_per_dispatch: int = 1
 
 
@@ -180,30 +181,55 @@ def make_train_steps_scan(model: MatchaTTS, tx: optax.GradientTransformation,
     return train_steps
 
 
-def chunk_batches_by_shape(batches, k: int):
-    """Group a batch stream into lists of <= k identically-shaped batches.
+def chunk_batches_by_shape(batches, k: int, window: int = 64):
+    """Group a batch stream into lists of <= k identically-shaped batches, in an
+    execution order INDEPENDENT of k.
 
-    Buffers per static bucket shape and emits a group as soon as k batches of that
-    shape are available (bounded buffering: at most k-1 batches retained per shape);
-    leftovers flush in deterministic shape order at stream end. Batches are reordered
-    ACROSS buckets within an epoch — each gradient step still sees exactly one
-    original batch, and the grouping is identical on every host because the input
-    schedule is (matcha_tpu.data.dataset.batch_iterator's multi-host contract).
+    The stream is consumed in fixed windows of `window` items; each window is
+    stably sorted by batch shape and same-shape runs are cut into groups of <= k
+    (remainders flush within their window, never carried across windows). Neither
+    the window size nor the sort depends on k, so the order in which batches reach
+    the gradient step is identical for every k <= window: steps_per_dispatch is a
+    pure dispatch-granularity knob, and pairing each batch with its rng key BEFORE
+    chunking (Trainer.fit) makes training trajectories match bitwise across K
+    (up to XLA scan-body fusion ulps). Memory: at most `window` batches buffered.
 
-    Because rng keys are consumed in the REORDERED order, the batch->key pairing
-    (and thus the exact training trajectory) matches steps_per_dispatch=1 only when
-    all batches share one bucket shape (e.g. fixed-segment vocoder training); with
-    multiple bucket shapes the trajectories are statistically equivalent but not
-    bitwise-reproducible across K settings.
+    Items may be bare batch dicts or (batch_dict, aux) tuples — shapes are read
+    from the dict, aux (e.g. the batch's rng key) rides along untouched. The
+    grouping is identical on every host because the input schedule is
+    (matcha_tpu.data.dataset.batch_iterator's multi-host contract).
     """
-    pending: dict = {}
+    window = max(window, k)
+
+    def shape_of(item):
+        b = item[0] if isinstance(item, tuple) else item
+        return tuple(sorted((name, np.shape(v)) for name, v in b.items()))
+
+    def flush(buf):
+        runs: dict = {}
+        for it in buf:
+            runs.setdefault(shape_of(it), []).append(it)
+        for key in sorted(runs):  # deterministic shape order within the window
+            run = runs[key]
+            for i in range(0, len(run), k):
+                yield run[i : i + k]
+
+    buf: list = []
     for b in batches:
-        key = tuple(sorted((name, np.shape(v)) for name, v in b.items()))
-        pending.setdefault(key, []).append(b)
-        if len(pending[key]) == k:
-            yield pending.pop(key)
-    for key in sorted(pending):
-        yield pending[key]
+        buf.append(b)
+        if len(buf) == window:
+            yield from flush(buf)
+            buf = []
+    if buf:
+        yield from flush(buf)
+
+
+@partial(jax.jit, static_argnums=2)
+def _fold_in_keys(base_rng, epoch, n: int):
+    """All per-batch rng keys of one epoch in a single device dispatch:
+    key_i = fold_in(fold_in(base, epoch), i) for the epoch's i-th scheduled batch."""
+    k = jax.random.fold_in(base_rng, epoch)
+    return jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.arange(n))
 
 
 def make_eval_step(model: MatchaTTS, train_cfg: TrainConfig):
@@ -224,6 +250,15 @@ def make_eval_step(model: MatchaTTS, train_cfg: TrainConfig):
     return eval_step
 
 
+def _tb_importable() -> bool:
+    try:
+        from torch.utils.tensorboard import SummaryWriter  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
 class MetricLogger:
     """JSONL metric stream + optional TensorBoard mirror.
 
@@ -237,8 +272,13 @@ class MetricLogger:
         rank = jax.process_index()
         name = "metrics.jsonl" if rank == 0 else f"metrics_rank{rank}.jsonl"
         self.jsonl = open(self.log_dir / name, "a")
+        # tb_available is computed IDENTICALLY on every rank (an import check, not
+        # the rank-0-only writer below) so collective work gated on it — e.g. the
+        # params gather before validation rendering — is taken by all processes or
+        # by none, never divergently.
+        self.tb_available = use_tensorboard and _tb_importable()
         self.tb = None
-        if use_tensorboard and rank == 0:
+        if self.tb_available and rank == 0:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -317,19 +357,26 @@ class Trainer:
                 print(f"resumed from step {step} (epoch {start_epoch})")
 
         # K>1 uses the scanned multi-step graph for full groups of K same-shape
-        # batches and falls back to the single-step graph for epoch-end remainders
-        # (a scan graph per remainder length would recompile every epoch).
+        # batches and falls back to the single-step graph for window/epoch-end
+        # remainders (a scan graph per remainder length would recompile every epoch).
         train_step = make_train_step(self.model, tx, cfg)
         if cfg.steps_per_dispatch > 1:
             train_steps_scan = make_train_steps_scan(self.model, tx, cfg)
         eval_step = make_eval_step(self.model, cfg)
-        rng = jax.random.PRNGKey(cfg.seed + 1)
+        # Per-batch rng keys are derived by (epoch, schedule index) fold_in, not by
+        # sequential splits: the batch->key pairing is therefore independent of the
+        # dispatch grouping (steps_per_dispatch is a pure performance knob — see
+        # chunk_batches_by_shape) AND of resume boundaries (a sequential-split
+        # stream restarts from scratch on every fit() call, reusing early keys
+        # after a resume; fold_in(epoch, i) reproduces the original keys).
+        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+        eval_base = jax.random.PRNGKey(cfg.seed + 2)
 
         from matcha_tpu.utils.profiling import StepTimer
 
         epoch_timer = StepTimer()
         steps_done = 0  # steps executed this fit() call (profiling skips compile steps)
-        dispatches_done = 0  # device dispatches this fit() (scan-dispatch profiling)
+        dispatches_done = 0  # device dispatches this fit() (profiling trigger)
         profiling = False  # a trace is open (must be closed even on short runs)
 
         with self.mesh:
@@ -339,81 +386,60 @@ class Trainer:
                     train_ds, self.data_cfg, epoch=epoch,
                     process_index=jax.process_index(), process_count=jax.process_count(),
                 )
+                # all of this epoch's step keys in one device dispatch
+                epoch_keys = np.asarray(_fold_in_keys(base_rng, epoch, steps_per_epoch))
+                pairs = (
+                    ({kk: v for kk, v in b.items() if kk != "n_real"},
+                     epoch_keys[i] if i < len(epoch_keys)
+                     else np.asarray(jax.random.fold_in(
+                         jax.random.fold_in(base_rng, epoch), i)))
+                    for i, b in enumerate(train_iter)
+                )
                 with epoch_timer.measure() as epoch_out:
-                    if cfg.steps_per_dispatch > 1:
-                        for chunk in chunk_batches_by_shape(
-                            ({k: v for k, v in b.items() if k != "n_real"}
-                             for b in train_iter),
-                            cfg.steps_per_dispatch,
-                        ):
-                            k = len(chunk)
-                            # split sequentially so the per-step rng stream is
-                            # IDENTICAL to steps_per_dispatch=1
-                            step_rngs = []
-                            for _ in range(k):
-                                rng, r = jax.random.split(rng)
-                                step_rngs.append(r)
-                            # profile the second dispatch: past the first-compile wall,
-                            # one steady-state K-step scan in the trace
-                            if cfg.profile_dir is not None and dispatches_done == 1:
-                                jax.profiler.start_trace(cfg.profile_dir)
-                                profiling = True
-                            if k == cfg.steps_per_dispatch:
-                                stacked = {
-                                    key: np.stack([np.asarray(b[key]) for b in chunk])
-                                    for key in chunk[0]
-                                }
-                                stacked = put_global_batch(
-                                    self.mesh, stacked, stacked_steps=True
-                                )
-                                params, opt_state, metrics_k = train_steps_scan(
-                                    params, opt_state, stacked, jnp.stack(step_rngs)
-                                )
-                                per_step = [
-                                    {kk: v[i] for kk, v in metrics_k.items()}
-                                    for i in range(k)
-                                ]
-                                metrics = per_step[-1]
-                            else:  # epoch-end remainder: single-step graph, no new compiles
-                                per_step = []
-                                for b, r in zip(chunk, step_rngs):
-                                    b = put_global_batch(self.mesh, b)
-                                    params, opt_state, metrics = train_step(
-                                        params, opt_state, b, r
-                                    )
-                                    per_step.append(metrics)
-                            if profiling:
-                                jax.block_until_ready(metrics)
-                                jax.profiler.stop_trace()
-                                profiling = False
-                            dispatches_done += 1
-                            for i in range(k):
-                                if (step + i) % cfg.log_every == 0:
-                                    self.logger.log(step + i, per_step[i],
-                                                    prefix="train/", epoch=epoch)
-                            step += k
-                            steps_done += k
-                    else:
-                        for batch in train_iter:
-                            batch.pop("n_real", None)  # full batches only (drop_last)
-                            batch = put_global_batch(self.mesh, batch)
-                            rng, step_rng = jax.random.split(rng)
-                            # profile steps 2-4 of this fit(): past the first-compile
-                            # wall, three steady-state steps in one trace
-                            if cfg.profile_dir is not None and steps_done == 2:
-                                jax.profiler.start_trace(cfg.profile_dir)
-                                profiling = True
-                            params, opt_state, metrics = train_step(
-                                params, opt_state, batch, step_rng
+                    for chunk in chunk_batches_by_shape(pairs, cfg.steps_per_dispatch):
+                        k = len(chunk)
+                        # profile dispatches 2-3 of this fit(): past the
+                        # first-compile wall, steady-state steps in one trace
+                        if (cfg.profile_dir is not None and dispatches_done == 2
+                                and not profiling):
+                            jax.profiler.start_trace(cfg.profile_dir)
+                            profiling = True
+                        if cfg.steps_per_dispatch > 1 and k == cfg.steps_per_dispatch:
+                            stacked = {
+                                key: np.stack([np.asarray(b[key]) for b, _ in chunk])
+                                for key in chunk[0][0]
+                            }
+                            stacked = put_global_batch(
+                                self.mesh, stacked, stacked_steps=True
                             )
-                            if profiling and steps_done >= 4:
-                                jax.block_until_ready(metrics)
-                                jax.profiler.stop_trace()
-                                profiling = False
-                            if step % cfg.log_every == 0:
-                                self.logger.log(step, metrics, prefix="train/", epoch=epoch)
-                            step += 1
-                            steps_done += 1
+                            params, opt_state, metrics_k = train_steps_scan(
+                                params, opt_state, stacked,
+                                jnp.stack([jnp.asarray(r) for _, r in chunk]),
+                            )
+                            per_step = [
+                                {kk: v[i] for kk, v in metrics_k.items()}
+                                for i in range(k)
+                            ]
+                            metrics = per_step[-1]
+                        else:  # K==1, or a window/epoch-end remainder (< K batches):
+                            per_step = []
+                            for b, r in chunk:
+                                b = put_global_batch(self.mesh, b)
+                                params, opt_state, metrics = train_step(
+                                    params, opt_state, b, jnp.asarray(r)
+                                )
+                                per_step.append(metrics)
+                        dispatches_done += 1
+                        if profiling and dispatches_done >= 4:
+                            jax.block_until_ready(metrics)
+                            jax.profiler.stop_trace()
+                            profiling = False
+                        for i in range(k):
+                            if (step + i) % cfg.log_every == 0:
+                                self.logger.log(step + i, per_step[i],
+                                                prefix="train/", epoch=epoch)
+                        step += k
+                        steps_done += k
                     if metrics is not None:
                         epoch_out["result"] = metrics
 
@@ -423,16 +449,17 @@ class Trainer:
                 # hosts and rank 0's checkpoint ranking uses cross-host-correct values
                 # (reference `sync_dist=True` intent, `baselightningmodule.py:164-202`).
                 val_metrics, val_weights = [], []
-                for batch in batch_iterator(
+                eval_epoch_key = jax.random.fold_in(eval_base, epoch)
+                for vi, batch in enumerate(batch_iterator(
                     val_ds, self.data_cfg, epoch=0, shuffle=False,
                     process_index=jax.process_index(), process_count=jax.process_count(),
                     drop_last=False,
-                ):
+                )):
                     # weight each batch mean by its DISTINCT item count so the
                     # wrap-padded final batch doesn't over-count its items
                     val_weights.append(batch.pop("n_real"))
                     batch = put_global_batch(self.mesh, batch)
-                    rng, eval_rng = jax.random.split(rng)
+                    eval_rng = jax.random.fold_in(eval_epoch_key, vi)
                     val_metrics.append(eval_step(params, batch, eval_rng))
                 if val_metrics:
                     w = np.asarray(val_weights, np.float64)
@@ -447,17 +474,7 @@ class Trainer:
                 agg["epoch_seconds"] = epoch_timer.times[-1]
                 self.logger.log(step, agg, prefix="val/", epoch=epoch)
 
-                # Rendering runs on rank 0 only, but a global-mesh-sharded tree cannot
-                # be applied by one process alone — materialize full params to host
-                # first (a collective: every process participates).
-                if jax.process_count() > 1:
-                    from jax.experimental import multihost_utils
-
-                    params_host = multihost_utils.process_allgather(params, tiled=True)
-                else:
-                    params_host = params
-                if jax.process_index() == 0:
-                    self._log_validation_images(params_host, val_ds, epoch, step)
+                self._maybe_render_validation(params, val_ds, epoch, step, max_epochs)
                 # every process participates in the distributed Orbax write; the
                 # ranking value agg["loss"] is identical on all hosts (see above).
                 # Cadence-gated (final epoch always saved) — see ckpt_every_epochs.
@@ -466,6 +483,35 @@ class Trainer:
         if profiling:  # run ended before step 4 — close the trace cleanly
             jax.profiler.stop_trace()
         return params, opt_state, step
+
+    def _maybe_render_validation(self, params, val_ds, epoch: int, step: int,
+                                 max_epochs: int) -> bool:
+        """Rank-0 TensorBoard validation rendering, collective-work-gated.
+
+        Rendering runs on rank 0 only, but a global-mesh-sharded tree cannot be
+        applied by one process alone — full params must be gathered to host first
+        (a collective: every process participates). That gather is gated on
+        rendering actually happening: `logger.tb_available` is computed identically
+        on every rank (an import probe, not the rank-0-only writer), so a pod
+        without TensorBoard does ZERO per-epoch collective work for rendering.
+        Renders on the checkpoint cadence (`ckpt_every_epochs`, final epoch always;
+        reference renders every val epoch, `baselightningmodule.py:204-242` — the
+        default cadence of 1 preserves that).
+
+        Returns True iff the render path (and any gather) ran.
+        """
+        cfg = self.train_cfg
+        if not self.logger.tb_available or len(val_ds) == 0:
+            return False
+        if not ((epoch + 1) % cfg.ckpt_every_epochs == 0 or epoch + 1 == max_epochs):
+            return False
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            params = multihost_utils.process_allgather(params, tiled=True)
+        if jax.process_index() == 0:
+            self._log_validation_images(params, val_ds, epoch, step)
+        return True
 
     def _log_validation_images(self, params, val_ds, epoch: int, step: int, n_samples: int = 2):
         """Render encoder/decoder/alignment images for the first val samples.

@@ -42,9 +42,12 @@ def test_notebook_executes(name, tmp_path):
     proc = subprocess.run(
         [sys.executable, "-m", "nbconvert", "--to", "notebook", "--execute",
          "--output", str(out), str(EXAMPLES / name),
-         "--ExecutePreprocessor.timeout=600"],
+         # 1200 s: under full-suite contention on the 2-vCPU host the mel
+         # walkthrough was observed at 607 s against a 600 s limit (r3 verdict
+         # weak #3) — headroom, not a tight bound
+         "--ExecutePreprocessor.timeout=1200"],
         cwd=tmp_path,  # demo_serving writes wavs into cwd
-        env=env, capture_output=True, text=True, timeout=900,
+        env=env, capture_output=True, text=True, timeout=1500,
     )
     assert proc.returncode == 0, f"{name} failed:\n{proc.stderr[-3000:]}"
     assert out.exists()

@@ -340,3 +340,87 @@ def test_ckpt_every_epochs_cadence(tmp_path):
     # step 6; epoch 1 (step 2) must NOT have been saved
     saved = sorted(p.name for p in (tmp_path / "ckpts").glob("step_*"))
     assert saved == ["step_000000004", "step_000000006"], saved
+
+
+def test_k_dispatch_trajectory_bucket_independent(tmp_path):
+    """steps_per_dispatch is a pure performance knob: a multi-BUCKET epoch trains
+    the same trajectory at K=1 and K=3 — same window-sorted batch order, same
+    fold_in batch->key pairing — with per-step metric rows equal within XLA
+    scan-body fusion tolerance (r3 verdict item 7)."""
+    from matcha_tpu.audio.mel import MelConfig
+    from matcha_tpu.train.trainer import Trainer
+
+    mel_cfg = MelConfig(n_mels=TINY.n_feats)
+    train_ds = SyntheticDataset(n_items=24, mel_cfg=mel_cfg, min_frames=16,
+                                max_frames=90)
+    val_ds = SyntheticDataset(n_items=4, mel_cfg=mel_cfg, seed=1, min_frames=16,
+                              max_frames=32)
+    data_cfg = DataConfig(batch_size=4, text_pad_multiple=16, mel_pad_multiple=32)
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+    finals, logs = [], []
+    for k in (1, 3):
+        train_cfg = TrainConfig(ckpt_dir=str(tmp_path / f"k{k}"), accumulate_steps=1,
+                                mas_impl="ref", log_every=1, log_grad_norm=False,
+                                steps_per_dispatch=k)
+        trainer = Trainer(model_cfg=TINY, train_cfg=train_cfg, data_cfg=data_cfg,
+                          mesh=mesh)
+        params, _, _ = trainer.fit(train_ds, val_ds, max_epochs=1, resume=False)
+        finals.append(params)
+        lines = (tmp_path / f"k{k}" / "logs" / "metrics.jsonl").read_text().strip()
+        logs.append({json.loads(l)["step"]: json.loads(l)["train/loss"]
+                     for l in lines.split("\n") if '"train/loss"' in l})
+
+    # multi-bucket epoch: more than one mel pad shape must actually occur
+    shapes = {32 * ((train_ds.mel_length(i) + 31) // 32) for i in range(24)}
+    assert len(shapes) > 1
+    assert set(logs[0]) == set(logs[1]) and len(logs[0]) >= 4
+    for s in logs[0]:
+        np.testing.assert_allclose(logs[0][s], logs[1][s], rtol=1e-4, atol=1e-5,
+                                   err_msg=f"step {s}")
+    diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(finals[0]), jax.tree.leaves(finals[1]))
+    ])
+    assert diffs.max() < 3e-4  # scan-vs-single fusion ulps through one AdamW step
+    assert (diffs > 1e-6).mean() < 0.02
+
+
+def test_render_gating_no_collective_without_tb(tmp_path, monkeypatch):
+    """The pre-render params gather runs ONLY when rendering will happen: TB
+    absent => zero collective work per epoch (r3 verdict item 6)."""
+    import dataclasses
+
+    from matcha_tpu.audio.mel import MelConfig
+    from matcha_tpu.train.trainer import Trainer
+
+    val_ds = SyntheticDataset(n_items=2, mel_cfg=MelConfig(n_mels=TINY.n_feats),
+                              min_frames=16, max_frames=32)
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    cfg = TrainConfig(ckpt_dir=str(tmp_path / "a"))
+    trainer = Trainer(model_cfg=TINY, train_cfg=cfg, mesh=mesh)
+
+    def boom(*a, **kw):
+        raise AssertionError("gather/render path taken without TensorBoard")
+
+    from jax.experimental import multihost_utils
+    monkeypatch.setattr(multihost_utils, "process_allgather", boom)
+    monkeypatch.setattr(Trainer, "_log_validation_images", boom)
+    trainer.logger.tb_available = False
+    assert trainer._maybe_render_validation({}, val_ds, 0, 0, 5) is False
+
+    # TB available: render runs (single process -> still no gather)
+    called = []
+    monkeypatch.setattr(Trainer, "_log_validation_images",
+                        lambda self, *a, **kw: called.append(a))
+    trainer.logger.tb_available = True
+    assert trainer._maybe_render_validation({}, val_ds, 0, 0, 5) is True
+    assert called
+
+    # cadence: renders follow ckpt_every_epochs, final epoch always
+    cfg4 = dataclasses.replace(cfg, ckpt_dir=str(tmp_path / "b"), ckpt_every_epochs=4)
+    trainer4 = Trainer(model_cfg=TINY, train_cfg=cfg4, mesh=mesh)
+    trainer4.logger.tb_available = True
+    assert trainer4._maybe_render_validation({}, val_ds, 0, 0, 5) is False
+    assert trainer4._maybe_render_validation({}, val_ds, 3, 0, 5) is True
+    assert trainer4._maybe_render_validation({}, val_ds, 4, 0, 5) is True  # final

@@ -33,6 +33,14 @@ def main():
                          "own thread through the batching front-end (max-wait "
                          "batching, per-request seeds) instead of one synthesise "
                          "batch — exercises the production concurrent path")
+    ap.add_argument("--low-latency", action="store_true",
+                    help="synthesise each text through the one-dispatch fused "
+                         "path (synthesise_lowlatency): fixed largest budget, no "
+                         "host budget-pick round trip — minimum per-sentence "
+                         "latency instead of maximum batch throughput")
+    ap.add_argument("--int16", action="store_true",
+                    help="device-side PCM16 waveforms (4x less device->host "
+                         "traffic; what the output wav file stores anyway)")
     args = ap.parse_args()
 
     from matcha_tpu.cli.generate import load_params
@@ -59,17 +67,33 @@ def main():
     engine = TTSEngine(
         params,
         cfg=ServeConfig(n_timesteps=args.steps, bf16=args.bf16, vocoder=args.vocoder,
-                        max_batch=max(len(args.texts), 16)),
+                        max_batch=max(len(args.texts), 16),
+                        output_dtype="int16" if args.int16 else "float32"),
         vocoder_params=vocoder_params,
     )
-    if args.concurrent:
+    if args.low_latency:
+        wavs, infos = [], []
+        for i, text in enumerate(args.texts):
+            wav, inf = engine.synthesise_lowlatency(text, seed=args.seed + i)
+            wavs.append(wav)
+            infos.append(inf)
+            print(f"low-latency: {inf['wall_s'] * 1e3:.1f} ms, "
+                  f"budget={inf['budget']}, rtf={inf['rtf']:.4f}")
+        info = {"budget": max(i["budget"] for i in infos),
+                "wall_s": max(i["wall_s"] for i in infos),
+                "rtf": sum(i["rtf"] for i in infos) / len(infos)}
+    elif args.concurrent:
         import threading
 
         engine.start_batching()
         results = [None] * len(args.texts)
+        errors = []
 
         def run(i):
-            results[i] = engine.serve(args.texts[i], seed=args.seed + i)
+            try:
+                results[i] = engine.serve(args.texts[i], seed=args.seed + i)
+            except Exception as e:  # surface the real error after join, not a
+                errors.append((i, e))  # TypeError from the None placeholder
 
         threads = [threading.Thread(target=run, args=(i,))
                    for i in range(len(args.texts))]
@@ -78,6 +102,9 @@ def main():
         for t in threads:
             t.join()
         engine.stop_batching()
+        if errors:
+            i, e = errors[0]
+            raise RuntimeError(f"serve() failed for text {i}: {e}") from e
         wavs = [w for w, _ in results]
         infos = [inf for _, inf in results]
         info = {"budget": max(i["budget"] for i in infos),

@@ -9,8 +9,11 @@ static-shape design as `cli/generate`:
     once (persistent cache across processes), then every request is a pure device
     dispatch;
   * requests are batched: stage 1 (encoder + durations) picks the smallest mel
-    budget that fits the longest utterance in the batch, stage 2 decodes the whole
-    batch at that budget and crops per sample;
+    budget that fits the longest utterance in the batch; stage 2 is ONE fused
+    graph — noise draw + alignment + ODE decode + vocoder — per budget, so a
+    group pays exactly two dispatches (and `synthesise_lowlatency` collapses even
+    the budget pick into a single fixed-budget dispatch for latency-critical
+    single sentences);
   * optional bf16 serving (params + activations; ~2.7x the fp32 throughput on v5e,
     see bench.py `bf16_x_realtime`) and either vocoder.
 
@@ -56,6 +59,17 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+def _np_prng_keys(seeds) -> np.ndarray:
+    """(n, 2) uint32 threefry key batch == jnp.stack([PRNGKey(s) for s in seeds]),
+    built in pure numpy. `jax.random.PRNGKey` is an eager device op; in the
+    serving hot path every eager op is an extra executable launch through a
+    ~25 ms-latency tunnel (and a one-off compile on first shape). A threefry
+    key from a 32-bit seed is literally [0, seed] (test_serve pins equality)."""
+    return np.stack([
+        np.array([0, int(s) & 0xFFFFFFFF], np.uint32) for s in seeds
+    ])
+
+
 @dataclass(frozen=True)
 class ServeConfig:
     n_timesteps: int = 10
@@ -69,6 +83,11 @@ class ServeConfig:
     max_batch: int = 16
     bf16: bool = False
     vocoder: str = "griffin_lim"  # or "hifigan"
+    # waveform wire format: "float32", or "int16" (device-side 16-bit PCM
+    # quantization — identical to what a PCM16 wav file stores, and 4x less
+    # device->host traffic; the production serving choice behind a bandwidth-
+    # limited transport). int16 engines return np.int16 waveforms.
+    output_dtype: str = "float32"
     mel_cfg: MelConfig = field(default_factory=MelConfig)
     # batching front-end: how long the worker waits for co-arriving requests
     # before dispatching a partial batch
@@ -78,7 +97,7 @@ class ServeConfig:
 class _Request:
     """One queued `serve()` call: text + seed in, waveform (or error) out."""
 
-    __slots__ = ("text", "seed", "event", "wav", "info", "error")
+    __slots__ = ("text", "seed", "event", "wav", "info", "error", "t_enqueue")
 
     def __init__(self, text: str, seed: int):
         self.text = text
@@ -87,6 +106,7 @@ class _Request:
         self.wav = None
         self.info = None
         self.error = None
+        self.t_enqueue = time.perf_counter()
 
 
 class TTSEngine:
@@ -100,13 +120,31 @@ class TTSEngine:
         vocoder_params=None,
         hifigan_cfg=None,
         rng: Optional[jax.Array] = None,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh — batched inference shards over the
+        mesh's 'data' axis exactly like training does (SURVEY.md §2.2 DP row):
+        params are replicated, every batch-dim input is sharded over 'data', and
+        XLA partitions the whole fused graph batch-wise (no collectives needed —
+        per-utterance synthesis is embarrassingly parallel, so scaling is linear
+        over ICI). Requests are padded to a multiple of the data-axis size."""
         self.cfg = cfg
         self.model = MatchaTTS(model_cfg)
         if cfg.bf16:
             from matcha_tpu.models.precision import bf16_serving
 
             params = bf16_serving(params)
+        self.mesh = mesh
+        self._n_data = 1
+        if mesh is not None:
+            from matcha_tpu.parallel.mesh import DATA_AXIS, replicated
+
+            self._n_data = mesh.shape[DATA_AXIS]
+            self._batch_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(DATA_AXIS))
+            params = jax.device_put(params, replicated(mesh))
+            if vocoder_params is not None:
+                vocoder_params = jax.device_put(vocoder_params, replicated(mesh))
         self.params = params
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -131,12 +169,18 @@ class TTSEngine:
         self._worker: Optional[threading.Thread] = None
         self._stop_worker = False
 
-        # jitted stages (compiled per static shape, cached across calls)
+        # jitted stages (compiled per static shape, cached across calls).
+        # The decode side is ONE fused graph — noise draw + path build + ODE
+        # decode + vocoder — so a request group pays exactly two dispatches:
+        # encode (host reads predicted lengths to pick the static budget), then
+        # the fused decode_vocode of its budget sub-group.
         self._encode = jax.jit(self._encode_impl)
-        self._decode = jax.jit(self._decode_impl, static_argnames=("budget",))
-        self._vocode = jax.jit(self._vocode_impl)
-        self._draw_z = jax.jit(self._draw_z_impl, static_argnames=("budget",))
-        self._vocode_seeded = jax.jit(self._vocode_seeded_impl)
+        self._decode_vocode = jax.jit(self._decode_vocode_impl,
+                                      static_argnames=("budget",))
+        self._decode_vocode_batch = jax.jit(self._decode_vocode_batch_impl,
+                                            static_argnames=("budget",))
+        self._synth_fused = jax.jit(self._synth_fused_impl,
+                                    static_argnames=("budget",))
 
     # ------------------------------------------------------------- jit bodies
     def _encode_impl(self, params, x, xl):
@@ -163,6 +207,62 @@ class TTSEngine:
         nf = self.model.cfg.n_feats
         return jax.vmap(lambda k: jax.random.normal(k, (budget, nf)))(keys)
 
+    def _pack_wav(self, wav, mel_lengths):
+        """Waveforms + per-sample mel lengths as ONE array, in the configured
+        wire dtype. A device->host sync through the axon tunnel costs ~25 ms of
+        RPC latency regardless of size, so the decode graphs return a single
+        (B, T*hop + 1) array — sample i's length rides as the trailing element —
+        instead of two arrays fetched by two sequential RPCs. int16 mode also
+        quantizes to 16-bit PCM on device (4x less wire traffic, bit-identical
+        to the PCM16 wav file the waveform ends up in). Lengths are exact in
+        both dtypes (<= 2^24 in f32, <= 32767 in int16)."""
+        if self.cfg.output_dtype == "int16":
+            wav = jnp.round(jnp.clip(wav, -1, 1) * 32767.0).astype(jnp.int16)
+            tail = mel_lengths.astype(jnp.int16)
+        else:
+            wav = wav.astype(jnp.float32)
+            tail = mel_lengths.astype(jnp.float32)
+        return jnp.concatenate([wav, tail[:, None]], axis=1)
+
+    @staticmethod
+    def _unpack_wav(packed):
+        arr = np.asarray(packed)  # the single device->host sync
+        return arr[:, :-1], arr[:, -1].astype(np.int32)
+
+    def _decode_vocode_impl(self, params, mu_x, w_ceil, x_mask, y_lengths, z_keys,
+                            *, budget):
+        """Per-request-seeded decode side in ONE dispatch: noise draw (vmap over
+        request keys) + alignment + ODE decode + vocoder. Fusing these (vs the
+        round-3 4-stage sequence) removes two ~28 ms host->device round trips per
+        sub-group through a remote-device tunnel. Returns a packed (wav, lengths)
+        array — see _pack_wav."""
+        z = self._draw_z_impl(z_keys, budget=budget)
+        gl_keys = jax.vmap(jax.random.fold_in)(
+            z_keys, jnp.ones(z_keys.shape[0], jnp.uint32))
+        mel, mel_lengths = self._decode_impl(
+            params, mu_x, w_ceil, x_mask, y_lengths, jax.random.PRNGKey(0),
+            budget=budget, z=z,
+        )
+        return self._pack_wav(self._vocode_seeded_impl(mel, gl_keys), mel_lengths)
+
+    def _decode_vocode_batch_impl(self, params, mu_x, w_ceil, x_mask, y_lengths,
+                                  key, *, budget):
+        """Batch-seed decode side in one dispatch: one noise draw shaped over the
+        batch (reference-synthesise semantics) + vocoder, same key for both —
+        matching the round-3 separate-stage behavior exactly. Packed return."""
+        mel, mel_lengths = self._decode_impl(
+            params, mu_x, w_ceil, x_mask, y_lengths, key, budget=budget)
+        return self._pack_wav(self._vocode_impl(mel, key), mel_lengths)
+
+    def _synth_fused_impl(self, params, x, xl, key, *, budget):
+        """Whole pipeline — encode + decode + vocode — as ONE graph at a static
+        budget: the low-latency path (synthesise_lowlatency). No host read of the
+        predicted lengths, so a single dispatch + a single device->host sync."""
+        mu_x, w_ceil, x_mask, y_lengths = self._encode_impl(params, x, xl)
+        return self._decode_vocode_batch_impl(
+            params, mu_x, w_ceil, x_mask, jnp.minimum(y_lengths, budget), key,
+            budget=budget)
+
     def _vocode_impl(self, mel, key):
         if self._gen is not None:
             return jnp.clip(self._gen.apply({"params": self._gen_params}, mel), -1, 1)
@@ -184,17 +284,34 @@ class TTSEngine:
         )(mel, keys)
 
     # ------------------------------------------------------------------- API
-    def _tokenize(self, texts: Sequence[str]):
+    def _tokenize(self, texts: Sequence[str], pad_pow2: bool = False):
+        """Token batch, padded so the batch dim splits evenly over a mesh's
+        'data' axis (extra rows repeat row 0 and are simply never read back);
+        mesh-sharded placement when serving over a mesh. `pad_pow2` additionally
+        rounds the batch up to a power of two — the batching front-end uses it
+        so every compiled graph family is covered by a pow2 warmup."""
         cfg = self.cfg
         seqs = [simple_text_to_sequence(t)[: cfg.max_text_len] for t in texts]
         tx = min(_round_up(max(len(s) for s in seqs), cfg.text_pad_multiple),
                  cfg.max_text_len)
-        x = np.zeros((len(seqs), tx), np.int32)
-        xl = np.zeros((len(seqs),), np.int32)
-        for i, s in enumerate(seqs):
+        n = len(seqs)
+        if pad_pow2:
+            n = 1 << (n - 1).bit_length()
+        n += -n % self._n_data
+        x = np.zeros((n, tx), np.int32)
+        xl = np.zeros((n,), np.int32)
+        for i in range(n):
+            s = seqs[i] if i < len(seqs) else seqs[0]
             x[i, : len(s)] = s
             xl[i] = len(s)
-        return jnp.asarray(x), jnp.asarray(xl)
+        return self._put(jnp.asarray(x)), self._put(jnp.asarray(xl))
+
+    def _put(self, arr):
+        """Shard a batch-leading-dim array over the mesh 'data' axis (no-op
+        without a mesh)."""
+        if self.mesh is None:
+            return arr
+        return jax.device_put(arr, self._batch_sharding)
 
     def _pick_budget(self, max_frames: int) -> int:
         for b in sorted(self.cfg.mel_budgets):
@@ -212,11 +329,13 @@ class TTSEngine:
         for bs in batch_sizes:
             x, xl = self._tokenize([text] * bs)
             mu_x, w_ceil, x_mask, y_lengths = self._encode(self.params, x, xl)
+            z_keys = self._put(jnp.asarray(_np_prng_keys(range(int(x.shape[0])))))
             for budget in self.cfg.mel_budgets:
-                mel, _ = self._decode(self.params, mu_x, w_ceil, x_mask,
-                                      jnp.minimum(y_lengths, budget), self._rng,
-                                      budget=budget)
-                jax.block_until_ready(self._vocode(mel, self._rng))
+                w1 = self._decode_vocode(self.params, mu_x, w_ceil, x_mask,
+                                         y_lengths, z_keys, budget=budget)
+                w2 = self._decode_vocode_batch(self.params, mu_x, w_ceil, x_mask,
+                                               y_lengths, self._rng, budget=budget)
+                jax.block_until_ready((w1, w2))
 
     def synthesise(self, texts: Sequence[str], seed: Optional[int] = None,
                    seeds: Optional[Sequence[int]] = None):
@@ -248,32 +367,61 @@ class TTSEngine:
             mu_x, w_ceil, x_mask, y_lengths = self._encode(self.params, x, xl)
             max_frames = int(np.asarray(y_lengths).max())
             budget = self._pick_budget(fix_len_compatibility(max_frames))
+            # NOTE: no host-side clamp/gather ops here — decode_fixed clamps
+            # y_lengths to the budget in-graph, and every eager op would be an
+            # extra executable launch through the device tunnel.
             if seeds is not None:
-                z_keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
-                gl_keys = jax.vmap(jax.random.fold_in)(
-                    z_keys, jnp.ones(len(seeds), jnp.uint32))
-                z = self._draw_z(z_keys, budget=budget)
-                mel, mel_lengths = self._decode(self.params, mu_x, w_ceil, x_mask,
-                                                jnp.minimum(y_lengths, budget),
-                                                jax.random.PRNGKey(0), budget=budget,
-                                                z=z)
-                wav = np.asarray(self._vocode_seeded(mel, gl_keys))
+                pad = [int(seeds[0])] * (int(x.shape[0]) - len(seeds))
+                z_keys = self._put(jnp.asarray(_np_prng_keys(list(seeds) + pad)))
+                packed = self._decode_vocode(
+                    self.params, mu_x, w_ceil, x_mask, y_lengths, z_keys,
+                    budget=budget)
             else:
-                mel, mel_lengths = self._decode(self.params, mu_x, w_ceil, x_mask,
-                                                jnp.minimum(y_lengths, budget), key,
-                                                budget=budget)
-                wav = np.asarray(self._vocode(mel, key))
+                packed = self._decode_vocode_batch(
+                    self.params, mu_x, w_ceil, x_mask, y_lengths, key,
+                    budget=budget)
+            wav, lengths = self._unpack_wav(packed)
             wall = time.perf_counter() - t0
 
         hop, sr = self.cfg.mel_cfg.hop_size, self.cfg.mel_cfg.sample_rate
-        lengths = np.asarray(mel_lengths)
-        wavs = [wav[i, : min(int(lengths[i]) * hop, wav.shape[1])].astype(np.float32)
+        lengths = lengths[: len(texts)]
+        wavs = [wav[i, : min(int(lengths[i]) * hop, wav.shape[1])]
                 for i in range(len(texts))]
         from matcha_tpu.utils.profiling import rtf
 
         info = {"rtf": rtf(wall, int(lengths.sum()), hop, sr), "budget": budget,
                 "wall_s": wall, "mel_lengths": lengths.tolist()}
         return wavs, info
+
+    def synthesise_lowlatency(self, text: str, seed: Optional[int] = None,
+                              budget: Optional[int] = None):
+        """Single-utterance minimum-latency path: text -> waveform in ONE device
+        dispatch + one device->host sync.
+
+        The two-stage path reads predicted lengths back to the host to pick the
+        smallest viable mel budget — through a high-latency device tunnel that
+        read costs a full round trip. Here the whole pipeline (encode + clamp +
+        decode + vocode) runs as one fused graph at a STATIC `budget` (default:
+        the largest configured budget, so any utterance fits); the extra decode
+        FLOPs of the oversized budget are cheaper than a tunnel round trip for
+        single sentences. Thread-safe. Returns (waveform, info).
+        """
+        budget = budget if budget is not None else max(self.cfg.mel_budgets)
+        with self._lock:
+            key = (jnp.asarray(_np_prng_keys([seed])[0]) if seed is not None
+                   else self._next_key_locked())
+            t0 = time.perf_counter()
+            x, xl = self._tokenize([text])
+            packed = self._synth_fused(self.params, x, xl, key, budget=budget)
+            wav, lengths = self._unpack_wav(packed)  # the single sync
+            wall = time.perf_counter() - t0
+        hop, sr = self.cfg.mel_cfg.hop_size, self.cfg.mel_cfg.sample_rate
+        ml = int(lengths[0])
+        from matcha_tpu.utils.profiling import rtf
+
+        info = {"rtf": rtf(wall, ml, hop, sr), "budget": budget, "wall_s": wall,
+                "mel_lengths": [ml]}
+        return wav[0, : min(ml * hop, wav.shape[1])], info
 
     def _next_key_locked(self):
         """Split the engine rng; caller must hold self._lock."""
@@ -304,6 +452,14 @@ class TTSEngine:
             self._pending_cv.notify_all()
         if self._worker is not None:
             self._worker.join(timeout=30)
+            if self._worker.is_alive():
+                # mid-dispatch worker outlived the join window: keep the reference
+                # so start_batching() cannot spawn a second worker draining the
+                # same pending list concurrently
+                raise RuntimeError(
+                    "batching worker still processing after 30 s join timeout; "
+                    "not restartable until it drains"
+                )
             self._worker = None
 
     def serve(self, text: str, seed: int):
@@ -312,10 +468,15 @@ class TTSEngine:
 
         Returns (waveform, info). Deterministic: output depends only on
         (text, seed, mel budget) — see module docstring."""
-        if self._worker is None or not self._worker.is_alive():
-            raise RuntimeError("batching worker not running — call start_batching()")
         req = _Request(text, int(seed))
         with self._pending_cv:
+            # liveness is checked INSIDE the condition lock: a concurrent
+            # stop_batching() cannot slip between the check and the enqueue and
+            # leave this request unprocessed forever
+            if (self._worker is None or not self._worker.is_alive()
+                    or self._stop_worker):
+                raise RuntimeError(
+                    "batching worker not running — call start_batching()")
             self._pending.append(req)
             self._pending_cv.notify_all()
         req.event.wait()
@@ -341,25 +502,40 @@ class TTSEngine:
                 del self._pending[: len(reqs)]
             try:
                 self._process_group(reqs)
-            except Exception as e:  # fail the whole group, keep the worker alive
-                for r in reqs:
-                    r.error = e
-                    r.event.set()
+            except Exception as e:  # keep the worker alive; fail only requests
+                for r in reqs:      # whose budget sub-group hadn't completed —
+                    if not r.event.is_set():  # delivered waveforms stay delivered
+                        r.error = e
+                        r.event.set()
 
     def _process_group(self, reqs):
-        """Encode a group of requests together, decode per mel-budget sub-group.
+        """Encode a group of requests together, then ONE fused dispatch (noise +
+        decode + vocode) per mel-budget sub-group.
 
         Per-request determinism: each request's decode noise/GL phase comes from
-        its own seed (`seeds=` mode of the jit bodies) and its budget from its OWN
-        predicted length — so joining a group changes neither. Sub-group batches
-        are padded to the next power of two (by repeating row 0) to bound the set
-        of compiled (batch, budget) decode graphs.
+        its own seed (`z_keys` mode of the fused graph) and its budget from its
+        OWN predicted length — so joining a group changes neither. Sub-group
+        batches are padded to the next power of two (by repeating row 0) to bound
+        the set of compiled (batch, budget) decode graphs.
+
+        Timing is per request: `wall_s` is the request's own compute path (shared
+        encode + its sub-group's fused dispatch — NOT other sub-groups processed
+        before it), `latency_s` is enqueue -> delivery (what a caller actually
+        waited, batching window and queueing included).
+
+        Hot-path discipline: zero eager device ops. Each sub-group re-runs the
+        (cheap, <1%-of-graph) encoder at its own pow2-padded batch size instead
+        of gathering rows out of the group encode — eager gathers would each be
+        an executable launch through the ~25 ms-latency tunnel with a one-off
+        compile per (group, sub-group) size pair; re-encoding keeps the path to
+        exactly two pre-warmed jitted graph families.
         """
         t0 = time.perf_counter()
         with self._lock:
-            x, xl = self._tokenize([r.text for r in reqs])
+            x, xl = self._tokenize([r.text for r in reqs], pad_pow2=True)
             mu_x, w_ceil, x_mask, y_lengths = self._encode(self.params, x, xl)
-            y_np = np.asarray(y_lengths)
+            y_np = np.asarray(y_lengths)[: len(reqs)]
+            wall_encode = time.perf_counter() - t0
             budgets = [self._pick_budget(fix_len_compatibility(int(f))) for f in y_np]
             by_budget: dict = {}
             for i, b in enumerate(budgets):
@@ -367,32 +543,37 @@ class TTSEngine:
 
             hop, sr = self.cfg.mel_cfg.hop_size, self.cfg.mel_cfg.sample_rate
             for budget, idx in sorted(by_budget.items()):
+                t_sub = time.perf_counter()
                 n = len(idx)
-                padded_n = 1 << (n - 1).bit_length()  # next pow2, bounds compiles
-                take = np.asarray(idx + [idx[0]] * (padded_n - n))
-                z_keys = jnp.stack(
-                    [jax.random.PRNGKey(reqs[i].seed) for i in idx]
-                    + [jax.random.PRNGKey(reqs[idx[0]].seed)] * (padded_n - n)
-                )
-                gl_keys = jax.vmap(jax.random.fold_in)(
-                    z_keys, jnp.ones(padded_n, jnp.uint32))
-                z = self._draw_z(z_keys, budget=budget)
-                mel, mel_lengths = self._decode(
-                    self.params, jnp.take(mu_x, take, axis=0),
-                    jnp.take(w_ceil, take, axis=0), jnp.take(x_mask, take, axis=0),
-                    jnp.minimum(jnp.take(y_lengths, take), budget),
-                    jax.random.PRNGKey(0), budget=budget, z=z,
-                )
-                wav = np.asarray(self._vocode_seeded(mel, gl_keys))
-                lengths = np.asarray(mel_lengths)
-                wall = time.perf_counter() - t0
+                # next pow2 bounds the set of compiled (batch, budget) graphs;
+                # mesh rounding (if any) happens inside _tokenize
+                padded_n = 1 << (n - 1).bit_length()
+                sel = idx + [idx[0]] * (padded_n - n)
+                if len(by_budget) == 1 and n == len(reqs) and int(x.shape[0]) == max(
+                        padded_n, padded_n + (-padded_n % self._n_data)):
+                    enc = (mu_x, w_ceil, x_mask, y_lengths)  # whole group, one
+                    # budget: the group encode already has the right rows/shape
+                else:
+                    xs, xls = self._tokenize([reqs[i].text for i in sel],
+                                             pad_pow2=True)
+                    enc = self._encode(self.params, xs, xls)
+                pad_n = int(enc[0].shape[0]) - padded_n  # mesh rounding pad rows
+                z_keys = self._put(jnp.asarray(_np_prng_keys(
+                    [reqs[i].seed for i in sel]
+                    + [reqs[idx[0]].seed] * pad_n)))
+                packed = self._decode_vocode(self.params, *enc, z_keys,
+                                             budget=budget)
+                wav, lengths = self._unpack_wav(packed)
+                now = time.perf_counter()
+                wall = wall_encode + (now - t_sub)
                 from matcha_tpu.utils.profiling import rtf
 
                 for j, i in enumerate(idx):
                     ml = int(lengths[j])
-                    reqs[i].wav = wav[j, : min(ml * hop, wav.shape[1])].astype(np.float32)
+                    reqs[i].wav = wav[j, : min(ml * hop, wav.shape[1])]
                     reqs[i].info = {
                         "budget": budget, "mel_length": ml, "wall_s": wall,
+                        "latency_s": now - reqs[i].t_enqueue,
                         "rtf": rtf(wall, ml, hop, sr), "group_size": len(reqs),
                     }
                     reqs[i].event.set()

@@ -76,10 +76,10 @@ def test_engine_warmup_then_serve_no_new_compile(engine):
     """After warmup, serving an identically-shaped request reuses compiled graphs."""
     eng, _ = engine
     eng.warmup(batch_sizes=(2,), text="hello world")
-    n0 = eng._decode._cache_size()
+    n0 = eng._decode_vocode_batch._cache_size()
     wavs, _ = eng.synthesise(["hello world", "hello there"], seed=1)
     assert len(wavs) == 2
-    assert eng._decode._cache_size() == n0  # no new decode compile
+    assert eng._decode_vocode_batch._cache_size() == n0  # no new decode compile
 
 
 def test_engine_hifigan_vocoder_path():
@@ -181,3 +181,127 @@ def test_serve_requires_worker(engine):
 
     with _pytest.raises(RuntimeError, match="start_batching"):
         eng.serve("hello", seed=0)
+
+
+def test_batch_worker_partial_failure_preserves_delivered(engine, monkeypatch):
+    """A failure mid-group fails only requests whose sub-group hadn't completed:
+    already-delivered waveforms are never clobbered with an error (r3 advice)."""
+    import threading
+
+    eng, _ = engine
+
+    def fake_process(reqs):
+        # first request delivered, then the group blows up
+        reqs[0].wav = np.zeros(10, np.float32)
+        reqs[0].info = {"budget": 32}
+        reqs[0].event.set()
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(eng, "_process_group", fake_process)
+    eng.start_batching(max_wait_ms=500)
+    try:
+        results, errors = {}, {}
+
+        def call(i):
+            try:
+                results[i] = eng.serve(f"text {i}", seed=i)
+            except RuntimeError as e:
+                errors[i] = e
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(results) == 1 and len(errors) == 1  # one kept its waveform
+        assert "boom" in str(next(iter(errors.values())))
+    finally:
+        monkeypatch.undo()
+        eng.stop_batching()
+
+
+def test_serve_refuses_after_stop(engine):
+    """serve() checks the stop flag inside the condition lock: after
+    stop_batching() a request can never be enqueued and silently dropped."""
+    eng, _ = engine
+    eng.start_batching()
+    eng.stop_batching()
+    with pytest.raises(RuntimeError, match="start_batching"):
+        eng.serve("hello", seed=0)
+
+
+def test_synthesise_lowlatency_matches_two_stage(engine):
+    """The one-dispatch fused path == the two-stage path at the same budget."""
+    eng, _ = engine
+    wavs, info = eng.synthesise(["hello world"], seed=11)
+    wav_ll, info_ll = eng.synthesise_lowlatency("hello world", seed=11,
+                                                budget=info["budget"])
+    assert info_ll["budget"] == info["budget"]
+    assert info_ll["mel_lengths"] == info["mel_lengths"]
+    np.testing.assert_allclose(wav_ll, wavs[0], atol=1e-3, rtol=1e-4)
+    # default budget: largest configured, still returns a per-sample crop
+    wav_d, info_d = eng.synthesise_lowlatency("hello world", seed=11)
+    assert info_d["budget"] == max(eng.cfg.mel_budgets)
+
+
+def test_engine_mesh_sharded_matches_single_device():
+    """Batched serving sharded over a 4-device 'data' mesh == the same engine on
+    one device: params replicated, batch dims sharded, linear DP scaling with no
+    output dependence on the mesh (r3 verdict item 3). Also exercises the
+    pad-to-data-axis path (3 requests on a 4-wide axis)."""
+    from matcha_tpu.parallel import make_mesh
+
+    model = MatchaTTS(TINY)
+    params = init_params(model, jax.random.PRNGKey(0))
+    cfg = ServeConfig(n_timesteps=2, mel_budgets=(32, 64, 128), max_batch=8,
+                      vocoder="griffin_lim", mel_cfg=MEL8)
+    eng1 = TTSEngine(params, model_cfg=TINY, cfg=cfg)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    engN = TTSEngine(params, model_cfg=TINY, cfg=cfg, mesh=mesh)
+
+    texts = ["hello world", "abc", "sharded serving test"]
+    seeds = [7, 8, 9]
+    w1, i1 = eng1.synthesise(texts, seeds=seeds)
+    wN, iN = engN.synthesise(texts, seeds=seeds)
+    assert i1["budget"] == iN["budget"]
+    assert i1["mel_lengths"] == iN["mel_lengths"]
+    for a, b in zip(w1, wN):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-4)
+
+    # batch-seed mode and the low-latency fused path also run sharded
+    wb, ib = engN.synthesise(texts, seed=3)
+    assert len(wb) == 3
+    wl, il = engN.synthesise_lowlatency("hello world", seed=5, budget=64)
+    assert wl.ndim == 1
+
+
+def test_engine_int16_output_mode():
+    """output_dtype='int16': device-side PCM16 quantization == host-side
+    quantization of the float32 engine's output, bit-for-bit."""
+    import dataclasses
+
+    model = MatchaTTS(TINY)
+    params = init_params(model, jax.random.PRNGKey(0))
+    cfg = ServeConfig(n_timesteps=2, mel_budgets=(32, 64), max_batch=2,
+                      vocoder="griffin_lim", mel_cfg=MEL8)
+    eng_f = TTSEngine(params, model_cfg=TINY, cfg=cfg)
+    eng_i = TTSEngine(params, model_cfg=TINY,
+                      cfg=dataclasses.replace(cfg, output_dtype="int16"))
+    wf, inf = eng_f.synthesise(["hello world"], seeds=[5])
+    wi, ini = eng_i.synthesise(["hello world"], seeds=[5])
+    assert wi[0].dtype == np.int16 and wf[0].dtype == np.float32
+    assert inf["mel_lengths"] == ini["mel_lengths"]
+    want = np.round(np.clip(wf[0], -1, 1) * 32767.0).astype(np.int16)
+    # same graph up to the quantization op; ties at the .5 boundary may flip
+    assert np.abs(wi[0].astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
+def test_np_prng_keys_match_jax():
+    """The numpy key construction used in the serving hot path == PRNGKey."""
+    from matcha_tpu.serve import _np_prng_keys
+
+    seeds = [0, 1, 5, 123456789, 2**31 - 1, 2**32 - 1]
+    got = _np_prng_keys(seeds)
+    want = np.stack([np.asarray(jax.random.PRNGKey(s)) for s in seeds])
+    np.testing.assert_array_equal(got, want)

@@ -113,3 +113,73 @@ def test_injected_z_matches_rng_path():
     z = jax.random.normal(key, mu.shape, dtype=mu.dtype)
     out_z = sample_cfm(estimator, None, mu, mask, 3, temperature=0.7, z=z)
     np.testing.assert_array_equal(np.asarray(out_rng), np.asarray(out_z))
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        # midpoint solver (2 estimator calls/step) through the full chain
+        dict(solver="midpoint", n_timesteps=3, temperature=1.0, length_scale=1.0),
+        # 1-token utterance: duration of a single token drives the whole path
+        dict(solver="euler", n_timesteps=4, temperature=0.667, length_scale=1.0,
+             xl=(1, 2)),
+        # predicted length EXCEEDS the static budget: the
+        # `jnp.minimum(y_lengths, y_max_length)` clamp path (models/matcha.py)
+        dict(solver="euler", n_timesteps=4, temperature=1.0, length_scale=4.0,
+             budget=64),
+        # length_scale < 1: fractional shrunk durations in generate_path
+        dict(solver="euler", n_timesteps=4, temperature=1.0, length_scale=0.5),
+    ],
+    ids=["midpoint", "one_token", "budget_clamp", "short_scale"],
+)
+def test_synthesise_e2e_parity_envelope(full_size_pair, case):
+    """r3-verdict item 9: the quirk-composition chain pinned across the parameter
+    ranges users actually touch (solver registry, edge shapes, budget clamp,
+    length_scale < 1)."""
+    tenc, tdec, params = full_size_pair
+    from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS
+
+    n_timesteps = case["n_timesteps"]
+    temperature, length_scale = case["temperature"], case["length_scale"]
+    solver = case["solver"]
+
+    b, tx = 2, 20
+    rng = np.random.default_rng(11)
+    x = rng.integers(3, 140, size=(b, tx)).astype(np.int64)
+    xl = np.array(case.get("xl", (20, 13)))
+    for i in range(b):
+        x[i, xl[i]:] = 0
+
+    xt, xlt = torch.from_numpy(x), torch.from_numpy(xl)
+    if "budget" in case:
+        y_max_length_ = case["budget"]
+    else:
+        with torch.no_grad():
+            _, logw, x_mask = tenc(xt, xlt)
+        w_ceil = torch.ceil(torch.exp(logw) * x_mask) * length_scale
+        y_lengths = torch.clamp_min(torch.sum(w_ceil, [1, 2]), 1).long()
+        y_max_length_ = torch_ref.torch_fix_len_compatibility(int(y_lengths.max()))
+    z = rng.standard_normal((b, 80, y_max_length_)).astype(np.float32)
+
+    out_t = torch_ref.torch_synthesise(
+        tenc, tdec, xt, xlt, n_timesteps, torch.from_numpy(z),
+        temperature=temperature, length_scale=length_scale,
+        y_max_length_=y_max_length_, solver=solver,
+    )
+
+    model = MatchaTTS(MatchaConfig(solver=solver))
+    out_j = model.apply(
+        {"params": params},
+        jnp.asarray(x, jnp.int32), jnp.asarray(xl, jnp.int32),
+        y_max_length_, n_timesteps, temperature, length_scale,
+        method=MatchaTTS.synthesise_fixed,
+        z=jnp.asarray(z.transpose(0, 2, 1)),
+    )
+
+    np.testing.assert_array_equal(np.asarray(out_j["mel_lengths"]),
+                                  out_t["mel_lengths"].numpy())
+    np.testing.assert_array_equal(np.asarray(out_j["attn"]), out_t["attn"].numpy())
+    mask = out_t["y_mask"].numpy()
+    mel_j = np.asarray(out_j["mel"]).transpose(0, 2, 1)
+    np.testing.assert_allclose(mel_j * mask, out_t["decoder_outputs"].numpy() * mask,
+                               atol=1e-3)

@@ -406,7 +406,8 @@ def torch_generate_path(duration, mask):
 
 
 def torch_synthesise(encoder, estimator, x, x_lengths, n_timesteps, z,
-                     temperature=1.0, length_scale=1.0, y_max_length_=None):
+                     temperature=1.0, length_scale=1.0, y_max_length_=None,
+                     solver="euler"):
     """Reference `MatchaTTS.synthesise` semantics with injected pre-temperature noise.
 
     Reproduces the full inference chain of `matcha/models/matcha_tts.py:179-245`
@@ -433,7 +434,11 @@ def torch_synthesise(encoder, estimator, x, x_lengths, n_timesteps, z,
         y_max_length = int(y_lengths.max())
         if y_max_length_ is None:
             y_max_length_ = torch_fix_len_compatibility(y_max_length)
-        assert y_max_length_ >= y_max_length and y_max_length_ % 4 == 0
+        assert y_max_length_ % 4 == 0
+        # serving-side budget clamp (matcha_tpu models/matcha.py decode_fixed):
+        # predicted lengths exceeding the static budget are truncated — the
+        # reference never hits this (it always pads up), the engine does
+        y_lengths = torch.clamp_max(y_lengths, y_max_length_)
 
         y_mask = torch_sequence_mask(y_lengths, y_max_length_).unsqueeze(1).to(x_mask.dtype)
         attn_mask = x_mask.unsqueeze(-1) * y_mask.unsqueeze(2)
@@ -446,7 +451,15 @@ def torch_synthesise(encoder, estimator, x, x_lengths, n_timesteps, z,
         t = t_span[0]
         dt = t_span[1] - t_span[0]
         for step in range(1, len(t_span)):
-            v = estimator(xcur, y_mask, mu_y, torch.full((xcur.shape[0],), float(t)))
+            tb = torch.full((xcur.shape[0],), float(t))
+            if solver == "midpoint":
+                # RK2, matching matcha_tpu.flow.solve_midpoint exactly
+                v1 = estimator(xcur, y_mask, mu_y, tb)
+                xm = xcur + 0.5 * dt * v1
+                v = estimator(xm, y_mask, mu_y,
+                              torch.full((xcur.shape[0],), float(t + 0.5 * dt)))
+            else:
+                v = estimator(xcur, y_mask, mu_y, tb)
             xcur = xcur + dt * v
             t = t + dt
             if step < len(t_span) - 1:

@@ -78,6 +78,61 @@ class WNConv(nn.Module):
         return nn.WeightNorm(conv)(x)
 
 
+class SubpixelConvTranspose(nn.Module):
+    """Stride-u transposed conv computed as ONE dense conv + channel->time reshape.
+
+    XLA lowers `conv_transpose` by zero-dilating the input, so the MXU spends
+    (u-1)/u of its multiplies on stuffed zeros (for the HiFi-GAN v1 8x stages,
+    7/8 of that layer's work). The identity used here instead: with torch padding
+    p = (k-u)//2 (the HiFi-GAN geometry, `models.py:84-88`), output phase
+    r in [0,u) is a short correlation over the UN-upsampled sequence,
+
+        y[u*t + r] = sum_a x[t + d_r - a] . W[:, :, u*a + rho_r],
+        rho_r = (r + p) mod u,  d_r = (r + p) // u,
+
+    i.e. one dense conv producing u*C_out channels from a window of
+    ceil(k/u)+1 input frames, then a (B, T, u, C) -> (B, u*T, C) reshape.
+    Same math, 1/u of the MXU work, and a contraction dim u times fatter.
+
+    Declares the SAME parameter layout as flax nn.ConvTranspose with
+    transpose_kernel=True (kernel (k, C_out, C_in) + bias) so checkpoints and
+    the torch converter (`compat/torch_import.py:38-40`) are interchangeable;
+    the kernel regrouping is traced (tiny gathers, constant-folded by XLA).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        u, k, co = self.stride, self.kernel_size, self.features
+        ci = x.shape[-1]
+        kernel = self.param("kernel", _norm_init(), (k, co, ci))
+        bias = self.param("bias", nn.initializers.zeros_init(), (co,))
+        p_t = (k - u) // 2  # torch ConvTranspose1d padding (reference geometry)
+        offsets: dict = {}  # window offset -> [(kernel tap j, output phase r)]
+        for r in range(u):
+            rho, delta = (r + p_t) % u, (r + p_t) // u
+            a = 0
+            while u * a + rho < k:
+                offsets.setdefault(delta - a, []).append((u * a + rho, r))
+                a += 1
+        w_min, w_max = min(offsets), max(offsets)
+        regroup = jnp.zeros((w_max - w_min + 1, ci, u, co), kernel.dtype)
+        for off, taps in offsets.items():
+            for j, r in taps:
+                regroup = regroup.at[off - w_min, :, r, :].set(
+                    jnp.swapaxes(kernel[j], 0, 1))
+        y = jax.lax.conv_general_dilated(
+            x, regroup.reshape(w_max - w_min + 1, ci, u * co),
+            window_strides=(1,), padding=[(-w_min, w_max)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        y = y.reshape(x.shape[0], x.shape[1] * u, co)
+        return y + bias
+
+
 class ResBlock1(nn.Module):
     """Dilated residual MRF block (`models.py:11-48`)."""
 
@@ -119,6 +174,10 @@ class Generator(nn.Module):
 
     cfg: HiFiGANConfig = HiFiGANConfig()
     weight_norm: bool = False
+    # "conv_transpose" (reference lowering) or "subpixel" (same parameters/math,
+    # 1/u of the upsample MXU work — see SubpixelConvTranspose). Inference only:
+    # the weight-norm training path keeps the flax module WeightNorm wraps.
+    upsample_impl: str = "conv_transpose"
 
     @nn.compact
     def __call__(self, mel):
@@ -137,14 +196,17 @@ class Generator(nn.Module):
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             x = _lrelu(x)
-            # torch ConvTranspose1d(k, stride=u, padding=(k-u)//2) -> output u*T.
-            # flax pads the stride-dilated input directly, so torch padding p maps to
-            # flax padding k-1-p on both sides.
-            p = k - 1 - (k - u) // 2
-            x = wn(nn.ConvTranspose(
-                ch, (k,), strides=(u,), padding=[(p, p)], transpose_kernel=True,
-                kernel_init=_norm_init(), name=f"up_{i}",
-            ))(x)
+            if self.upsample_impl == "subpixel" and not self.weight_norm:
+                x = SubpixelConvTranspose(ch, k, u, name=f"up_{i}")(x)
+            else:
+                # torch ConvTranspose1d(k, stride=u, padding=(k-u)//2) -> output u*T.
+                # flax pads the stride-dilated input directly, so torch padding p maps
+                # to flax padding k-1-p on both sides.
+                p = k - 1 - (k - u) // 2
+                x = wn(nn.ConvTranspose(
+                    ch, (k,), strides=(u,), padding=[(p, p)], transpose_kernel=True,
+                    kernel_init=_norm_init(), name=f"up_{i}",
+                ))(x)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)

@@ -90,3 +90,29 @@ def test_discriminators_and_gan_losses():
     params = msd.init(jax.random.PRNGKey(0), y, y_hat)
     o_r, o_g, f_r, f_g = msd.apply(params, y, y_hat)
     assert len(o_r) == 3
+
+
+def test_subpixel_upsample_matches_conv_transpose():
+    """Generator(upsample_impl='subpixel') == the conv_transpose lowering on the
+    SAME parameter tree: one dense conv + channel->time reshape replaces the
+    zero-dilated transposed conv (1/u of the MXU work) with identical math."""
+    import jax
+    import jax.numpy as jnp
+
+    from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
+
+    cfg = HiFiGANConfig(upsample_initial_channel=32, num_mels=8)
+    g_ct = Generator(cfg, weight_norm=False)
+    g_sp = Generator(cfg, weight_norm=False, upsample_impl="subpixel")
+    params = g_ct.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8)))["params"]
+    params = jax.tree.map(
+        lambda a: jax.random.normal(
+            jax.random.PRNGKey(hash(str(a.shape)) % 2**31), a.shape) * 0.05,
+        params,
+    )
+    mel = jax.random.normal(jax.random.PRNGKey(2), (2, 24, 8))
+    y_ct = g_ct.apply({"params": params}, mel)
+    y_sp = g_sp.apply({"params": params}, mel)
+    assert y_ct.shape == y_sp.shape
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ct),
+                               atol=1e-6, rtol=1e-5)

@@ -133,16 +133,72 @@ class SubpixelConvTranspose(nn.Module):
         return y + bias
 
 
+class _RawConvParams(nn.Module):
+    """Declares a flax nn.Conv's parameters (kernel + bias) without running the
+    conv — named "Conv_0" inside a _RawWNConv shell, this reproduces WNConv's
+    exact parameter tree so Pallas-computed blocks stay checkpoint-compatible."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", _norm_init(),
+                            (self.kernel_size, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
+class _RawWNConv(nn.Module):
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _RawConvParams(self.features, self.kernel_size,
+                              name="Conv_0")(in_features)
+
+
 class ResBlock1(nn.Module):
-    """Dilated residual MRF block (`models.py:11-48`)."""
+    """Dilated residual MRF block (`models.py:11-48`).
+
+    `impl="pallas"` (inference only): each dilation step runs as one
+    VMEM-resident fused kernel (ops/mrf_pallas.py) instead of ~5 HBM traversals
+    — same parameter tree (declared via _RawWNConv shells), same math."""
 
     channels: int
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3, 5)
     weight_norm: bool = False
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
+        if self.impl == "pallas" and not self.weight_norm:
+            from matcha_tpu.ops import mrf_pallas
+
+            assert mrf_pallas.LRELU_SLOPE == LRELU_SLOPE
+            ci = x.shape[-1]
+            for i, d in enumerate(self.dilations):
+                w1, b1 = _RawWNConv(self.channels, self.kernel_size,
+                                    name=f"WNConv_{2 * i}")(ci)
+                w2, b2 = _RawWNConv(self.channels, self.kernel_size,
+                                    name=f"WNConv_{2 * i + 1}")(self.channels)
+                out = mrf_pallas.fused_mrf_step(x, w1, b1, w2, b2, dilation=d)
+                if out is None:  # no viable time tiling: XLA fallback
+                    xt = _lrelu(x)
+                    xt = jax.lax.conv_general_dilated(
+                        xt, w1, (1,), [(d * (self.kernel_size - 1) // 2,) * 2],
+                        rhs_dilation=(d,), dimension_numbers=("NWC", "WIO", "NWC"),
+                    ) + b1
+                    xt = _lrelu(xt)
+                    xt = jax.lax.conv_general_dilated(
+                        xt, w2, (1,), [((self.kernel_size - 1) // 2,) * 2],
+                        dimension_numbers=("NWC", "WIO", "NWC"),
+                    ) + b2
+                    out = x + xt
+                x = out
+            return x
         for d in self.dilations:
             xt = _lrelu(x)
             xt = WNConv(self.channels, self.kernel_size, dilation=d, weight_norm=self.weight_norm)(xt)
@@ -178,6 +234,10 @@ class Generator(nn.Module):
     # 1/u of the upsample MXU work — see SubpixelConvTranspose). Inference only:
     # the weight-norm training path keeps the flax module WeightNorm wraps.
     upsample_impl: str = "conv_transpose"
+    # "xla" or "pallas": run each MRF dilation step as a fused VMEM kernel
+    # (ops/mrf_pallas.py) — the measured vocoder bottleneck is HBM traffic of
+    # the resblock elementwise chains (docs/DESIGN.md). Inference only.
+    resblock_impl: str = "xla"
 
     @nn.compact
     def __call__(self, mel):
@@ -211,7 +271,12 @@ class Generator(nn.Module):
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
             ):
-                y = res_cls(ch, rk, tuple(rd), self.weight_norm, name=f"res_{i}_{j}")(x)
+                if res_cls is ResBlock1:
+                    y = ResBlock1(ch, rk, tuple(rd), self.weight_norm,
+                                  self.resblock_impl, name=f"res_{i}_{j}")(x)
+                else:
+                    y = res_cls(ch, rk, tuple(rd), self.weight_norm,
+                                name=f"res_{i}_{j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
 

@@ -1,0 +1,140 @@
+"""Fused HiFi-GAN MRF dilation-step as a Pallas TPU kernel.
+
+The generator's multi-receptive-field residual stacks are HBM-BANDWIDTH-bound,
+not MXU-bound (measured trace, docs/DESIGN.md "Vocoder-graph op breakdown"):
+after the 8x upsample stages every activation tensor holds ~2M elements per
+batch row, and XLA executes one dilation step
+
+    x <- x + conv_k1(lrelu(conv_kd(lrelu(x))))       (`hifi_gan/models.py:11-48`)
+
+as ~5 separate full HBM traversals (lrelu, conv, lrelu, conv, add — the
+elementwise ops cannot fuse INTO conv operands). This kernel computes the whole
+dilation step in one VMEM-resident pass per (batch, time-tile) grid cell: HBM
+traffic drops from ~5 read+write traversals to one read + one write (~2.5x),
+which is the measured roofline of the block.
+
+Layout: feature-last (B, T, C), flax conv kernels (k, C_in, C_out). Each conv
+tap is one (T_tile, C) x (C, C) matmul with f32 accumulation on the MXU. Halo
+frames come from the neighboring time tiles (three BlockSpec views of the same
+array with shifted index maps — clamped at the edges and masked to zero by
+absolute position, reproducing the convs' zero 'same' padding; note lrelu(0)=0
+so masking before or after the first activation is equivalent).
+
+Inference path only: training keeps the flax/XLA modules (weight-norm wraps).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+LRELU_SLOPE = 0.1  # models/hifigan.py LRELU_SLOPE (kept local: ops must not
+#                    import models; hifigan asserts the two stay equal)
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+
+
+def _mrf_kernel(xl_ref, xc_ref, xr_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                dilation: int, block_t: int, t_total: int):
+    k = w1_ref.shape[0]
+    h1 = dilation * (k - 1) // 2
+    h2 = (k - 1) // 2
+    H = h1 + h2
+    i = pl.program_id(1)
+    t0 = i * block_t
+    prec = jax.lax.Precision.DEFAULT
+
+    xc = xc_ref[0]  # (block_t, C)
+    ext = jnp.concatenate(
+        [xl_ref[0, block_t - H:], xc, xr_ref[0, :H]], axis=0
+    )  # (block_t + 2H, C): tile plus halos from the neighbor tiles
+    # zero frames whose ABSOLUTE position falls outside [0, T): edge tiles see
+    # clamped (duplicated) neighbor blocks, and the convs' 'same' padding is zero
+    pos = t0 - H + jax.lax.broadcasted_iota(jnp.int32, (block_t + 2 * H, 1), 0)
+    valid = (pos >= 0) & (pos < t_total)
+    y = _lrelu(jnp.where(valid, ext, 0))
+
+    # conv1 (dilated k taps) over [-h2, block_t + h2): each tap one MXU matmul
+    c = (k - 1) // 2
+    acc1 = jnp.zeros((block_t + 2 * h2, w1_ref.shape[2]), jnp.float32)
+    for j in range(k):
+        o = (j - c) * dilation
+        sl = y[H - h2 + o : H + h2 + o + block_t]
+        acc1 = acc1 + jax.lax.dot_general(
+            sl, w1_ref[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    z = _lrelu(acc1 + b1_ref[0].astype(jnp.float32))
+    # conv2's zero padding at the sequence edges: z outside [0, T) must be 0
+    # (it would otherwise hold lrelu(bias))
+    zpos = t0 - h2 + jax.lax.broadcasted_iota(jnp.int32, (block_t + 2 * h2, 1), 0)
+    z = jnp.where((zpos >= 0) & (zpos < t_total), z, 0).astype(xc.dtype)
+
+    acc2 = jnp.zeros((block_t, w2_ref.shape[2]), jnp.float32)
+    for j in range(k):
+        sl = z[j : j + block_t]  # offsets -h2..h2 relative to the output frame
+        acc2 = acc2 + jax.lax.dot_general(
+            sl, w2_ref[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    out = xc.astype(jnp.float32) + acc2 + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pick_block_t(t: int) -> int:
+    for cand in (4096, 2048, 1024, 512, 256, 128, 64):
+        if t % cand == 0:
+            return min(cand, t)
+    return 0  # no viable tiling — caller falls back to the XLA path
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
+def _fused_mrf(x, w1, b1, w2, b2, dilation: int, interpret: bool):
+    b, t, c = x.shape
+    k = w1.shape[0]
+    block_t = _pick_block_t(t)
+    h = dilation * (k - 1) // 2 + (k - 1) // 2
+    assert block_t >= h, (block_t, h)
+    n_tiles = t // block_t
+    kern = functools.partial(_mrf_kernel, dilation=dilation, block_t=block_t,
+                             t_total=t)
+    xspec = lambda f: pl.BlockSpec((1, block_t, c), f)
+    wspec = lambda arr: pl.BlockSpec(arr.shape, lambda bi, ti: (0,) * arr.ndim)
+    return pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[
+            xspec(lambda bi, ti: (bi, jnp.maximum(ti - 1, 0), 0)),
+            xspec(lambda bi, ti: (bi, ti, 0)),
+            xspec(lambda bi, ti: (bi, jnp.minimum(ti + 1, n_tiles - 1), 0)),
+            wspec(w1), wspec(b1), wspec(w2), wspec(b2),
+        ],
+        out_specs=xspec(lambda bi, ti: (bi, ti, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        interpret=interpret,
+    )(x, x, x, w1, b1, w2, b2)
+
+
+def fused_mrf_step(x, w1, b1, w2, b2, dilation: int, interpret=None):
+    """One MRF dilation step, VMEM-fused: x + conv_k1(lrelu(conv_kd(lrelu(x)))).
+
+    Args:
+        x: (B, T, C) activations (bf16 or f32).
+        w1: (k, C, C) dilated-conv kernel (flax layout); b1: (C,) its bias.
+        w2: (k, C, C) dilation-1 conv kernel; b2: (C,) its bias.
+        dilation: conv1's dilation.
+        interpret: force Pallas interpreter mode (defaults to True off-TPU).
+    Returns:
+        (B, T, C) in x's dtype, or None if T has no viable tiling (caller must
+        fall back to the XLA path).
+    """
+    if _pick_block_t(x.shape[1]) == 0:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b1 = b1.reshape(1, -1)
+    b2 = b2.reshape(1, -1)
+    return _fused_mrf(x, w1, b1, w2, b2, int(dilation), bool(interpret))

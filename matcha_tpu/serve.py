@@ -88,6 +88,13 @@ class ServeConfig:
     # device->host traffic; the production serving choice behind a bandwidth-
     # limited transport). int16 engines return np.int16 waveforms.
     output_dtype: str = "float32"
+    # decoder attention implementation per mel budget: "auto" selects the fused
+    # VMEM Pallas kernel (ops/attention_pallas.py) for budgets >= 1024 frames —
+    # the measured crossover where the (T, T) score tensor outgrows XLA's
+    # on-chip fusion (~6% serving win, docs/DESIGN.md) — and XLA below it;
+    # "xla"/"pallas" force one implementation for every budget.
+    attn_impl: str = "auto"
+    attn_pallas_min_budget: int = 1024
     mel_cfg: MelConfig = field(default_factory=MelConfig)
     # batching front-end: how long the worker waits for co-arriving requests
     # before dispatching a partial batch
@@ -130,6 +137,14 @@ class TTSEngine:
         over ICI). Requests are padded to a multiple of the data-axis size."""
         self.cfg = cfg
         self.model = MatchaTTS(model_cfg)
+        self._model_pallas = None
+        if cfg.attn_impl in ("auto", "pallas"):
+            import dataclasses
+
+            self._model_pallas = MatchaTTS(dataclasses.replace(
+                model_cfg,
+                decoder=dataclasses.replace(model_cfg.decoder, attn_impl="pallas"),
+            ))
         if cfg.bf16:
             from matcha_tpu.models.precision import bf16_serving
 
@@ -189,9 +204,21 @@ class TTSEngine:
             method=MatchaTTS.encode_durations,
         )
 
+    def _model_for(self, budget: int):
+        """Decoder variant for a mel budget: the fused VMEM attention kernel
+        where it measured a win (>= attn_pallas_min_budget frames, "auto"), XLA
+        below. Both variants share one parameter tree; `budget` is static under
+        jit, so the selection costs nothing at dispatch time."""
+        if self._model_pallas is None or self.cfg.attn_impl == "xla":
+            return self.model
+        if (self.cfg.attn_impl == "pallas"
+                or budget >= self.cfg.attn_pallas_min_budget):
+            return self._model_pallas
+        return self.model
+
     def _decode_impl(self, params, mu_x, w_ceil, x_mask, y_lengths, key, *,
                      budget, z=None):
-        out = self.model.apply(
+        out = self._model_for(budget).apply(
             {"params": params}, mu_x, w_ceil, x_mask, y_lengths, budget,
             self.cfg.n_timesteps, self.cfg.temperature, z=z,
             method=MatchaTTS.decode_fixed, rngs={"noise": key},

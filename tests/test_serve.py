@@ -305,3 +305,32 @@ def test_np_prng_keys_match_jax():
     got = _np_prng_keys(seeds)
     want = np.stack([np.asarray(jax.random.PRNGKey(s)) for s in seeds])
     np.testing.assert_array_equal(got, want)
+
+
+def test_attn_impl_auto_selection():
+    """ServeConfig.attn_impl='auto': XLA below the crossover budget, the Pallas
+    kernel at/above it; outputs match across implementations (r3 item 4)."""
+    import dataclasses
+
+    model = MatchaTTS(TINY)
+    params = init_params(model, jax.random.PRNGKey(0))
+    cfg = ServeConfig(n_timesteps=2, mel_budgets=(32, 64), max_batch=2,
+                      vocoder="griffin_lim", mel_cfg=MEL8,
+                      attn_pallas_min_budget=64)
+    eng = TTSEngine(params, model_cfg=TINY, cfg=cfg)
+    assert eng._model_for(32) is eng.model
+    assert eng._model_for(64) is eng._model_pallas
+    assert eng._model_pallas.cfg.decoder.attn_impl == "pallas"
+
+    eng_xla = TTSEngine(params, model_cfg=TINY,
+                        cfg=dataclasses.replace(cfg, attn_impl="xla"))
+    assert eng_xla._model_for(64) is eng_xla.model
+
+    # same text, forced 64-frame budget on both engines: pallas == xla
+    text = "attention implementations must agree"
+    w_auto, i_auto = eng.synthesise([text, text], seeds=[3, 4])
+    w_xla, i_xla = eng_xla.synthesise([text, text], seeds=[3, 4])
+    if i_auto["budget"] == 64:  # the pallas bucket actually exercised
+        assert i_auto["mel_lengths"] == i_xla["mel_lengths"]
+        for a, b in zip(w_auto, w_xla):
+            np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)

@@ -116,3 +116,34 @@ def test_subpixel_upsample_matches_conv_transpose():
     assert y_ct.shape == y_sp.shape
     np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ct),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_pallas_mrf_matches_xla_resblocks():
+    """Generator(resblock_impl='pallas'): each MRF dilation step fused in VMEM
+    == the flax/XLA resblocks on the SAME parameter tree (interpret mode here;
+    the on-chip win is recorded in DESIGN.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
+
+    cfg = HiFiGANConfig(upsample_initial_channel=32, num_mels=8)
+    g_x = Generator(cfg, weight_norm=False)
+    g_p = Generator(cfg, weight_norm=False, resblock_impl="pallas")
+    params = g_x.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8)))["params"]
+    params = jax.tree.map(
+        lambda a: jax.random.normal(
+            jax.random.PRNGKey(hash(str(a.shape)) % 2**31), a.shape) * 0.05,
+        params,
+    )
+    # identical param trees (the _RawWNConv shells reproduce WNConv's layout)
+    import jax.tree_util as jtu
+    p2 = g_p.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8)))["params"]
+    assert ({jtu.keystr(k): v.shape for k, v in jtu.tree_leaves_with_path(params)}
+            == {jtu.keystr(k): v.shape for k, v in jtu.tree_leaves_with_path(p2)})
+    mel = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 8))
+    y_x = g_x.apply({"params": params}, mel)
+    y_p = g_p.apply({"params": params}, mel)
+    assert y_x.shape == y_p.shape
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               atol=1e-6, rtol=1e-5)

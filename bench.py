@@ -508,7 +508,7 @@ def main():
                 print(f"serve latency bench skipped: {e}", file=sys.stderr)
 
     train_ms = train_scan_ms = scan_k = train_mfu = None
-    train_scan_bf16_ms = train_mfu_bf16 = None
+    train_scan_bf16_ms = train_mfu_bf16 = train_tuned = None
     if not fast:
         try:
             train_ms, train_scan_ms, scan_k, step_flops = bench_train()
@@ -522,6 +522,26 @@ def main():
                     train_mfu_bf16 = _mfu(bf16_flops, train_scan_bf16_ms / 1e3)
         except Exception as e:
             print(f"train bench skipped: {e}", file=sys.stderr)
+        # TUNED training recipe (artifacts/train_sweep_r4.json): batch 128 is
+        # the throughput/MFU peak of the committed sweep; the out_size=256 row
+        # (reference-dormant random decoder crops) is the samples/s winner.
+        # batch 16 above stays as the reference-parity row (train.py:81-102).
+        if not no_bf16:
+            try:
+                _, t_t, _, fl_t = bench_train(batch=128, precision="bf16", iters=3)
+                _, t_o, _, _ = bench_train(batch=128, precision="bf16", iters=3,
+                                           out_size=256)
+                train_tuned = {
+                    "batch": 128, "k": 8, "precision": "bf16",
+                    "step_ms": round(t_t, 2),
+                    "mfu": None if not fl_t else round(
+                        _mfu(fl_t, t_t / 1e3), 4),
+                    "samples_per_s": round(128 / (t_t / 1e3), 1),
+                    "out_size256_step_ms": round(t_o, 2),
+                    "out_size256_samples_per_s": round(128 / (t_o / 1e3), 1),
+                }
+            except Exception as e:
+                print(f"tuned train bench skipped: {e}", file=sys.stderr)
 
     # MAS at both large reference shapes (test_monotonic_align_speed.py:126-130);
     # the largest remains the summary row
@@ -571,6 +591,7 @@ def main():
         "train_scan_dispatch_k": scan_k,
         "train_mfu": None if train_mfu is None else round(train_mfu, 4),
         "train_mfu_bf16": None if train_mfu_bf16 is None else round(train_mfu_bf16, 4),
+        "train_tuned": train_tuned,
     }
     print(json.dumps(result))
 

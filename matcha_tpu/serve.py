@@ -95,6 +95,10 @@ class ServeConfig:
     # "xla"/"pallas" force one implementation for every budget.
     attn_impl: str = "auto"
     attn_pallas_min_budget: int = 1024
+    # HiFi-GAN MRF lowering: "xla", or "pallas" for the fused VMEM dilation-step
+    # kernel (ops/mrf_pallas.py) attacking the generator's HBM-traffic roofline
+    # (docs/DESIGN.md "Vocoder-graph op breakdown")
+    vocoder_resblock_impl: str = "xla"
     mel_cfg: MelConfig = field(default_factory=MelConfig)
     # batching front-end: how long the worker waits for co-arriving requests
     # before dispatching a partial batch
@@ -170,7 +174,8 @@ class TTSEngine:
                                  "train.vocoder.load_generator_for_inference)")
             from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
 
-            self._gen = Generator(hifigan_cfg or HiFiGANConfig(), weight_norm=False)
+            self._gen = Generator(hifigan_cfg or HiFiGANConfig(), weight_norm=False,
+                                  resblock_impl=cfg.vocoder_resblock_impl)
             self._gen_params = vocoder_params
         else:
             self._gen = None

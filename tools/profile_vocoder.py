@@ -22,10 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def capture(batch, frames, bf16, trace_dir, upsample_impl="conv_transpose"):
+def capture(batch, frames, bf16, trace_dir, upsample_impl="conv_transpose",
+            resblock_impl="xla"):
     from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
 
-    gen = Generator(HiFiGANConfig(), weight_norm=False, upsample_impl=upsample_impl)
+    gen = Generator(HiFiGANConfig(), weight_norm=False, upsample_impl=upsample_impl,
+                    resblock_impl=resblock_impl)
     params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)))["params"]
     if bf16:
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
@@ -86,13 +88,16 @@ def main():
     ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--impl", default="conv_transpose")
+    ap.add_argument("--resblock", default="xla")
     ap.add_argument("--trace-dir", default="/tmp/voc_trace")
     args = ap.parse_args()
 
-    wall_ms = capture(args.batch, args.frames, args.bf16, args.trace_dir, args.impl)
+    wall_ms = capture(args.batch, args.frames, args.bf16, args.trace_dir, args.impl,
+                      args.resblock)
     rows, total = aggregate(args.trace_dir)
     print(f"generator fwd ({args.batch}x{args.frames}, "
-          f"{'bf16' if args.bf16 else 'fp32'}, {args.impl}): {wall_ms:.2f} ms wall")
+          f"{'bf16' if args.bf16 else 'fp32'}, up={args.impl}, "
+          f"res={args.resblock}): {wall_ms:.2f} ms wall")
     print(f"device total (4 dispatches): {total / 1e3:.2f} ms")
     for name, dur in rows[:25]:
         print(f"  {dur / 1e3:8.3f} ms  {100 * dur / total:5.1f}%  {name}")

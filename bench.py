@@ -193,6 +193,9 @@ def _full_size_engine(vocoder="hifigan", steps=10, bf16=True,
                       mel_budgets=(256, 512), max_batch=8):
     from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
     from matcha_tpu.serve import ServeConfig, TTSEngine
+    from matcha_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # direct callers (not just main()) get cached compiles
 
     model = MatchaTTS(MatchaConfig())
     params = init_params(model, jax.random.PRNGKey(0))

@@ -34,6 +34,9 @@ LRELU_SLOPE = 0.1  # models/hifigan.py LRELU_SLOPE (kept local: ops must not
 
 
 def _lrelu(x):
+    # compare in f32: Mosaic cannot lower bf16 vector comparisons
+    # ("Target does not support this comparison")
+    x = x.astype(jnp.float32)
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
 
 
@@ -55,7 +58,7 @@ def _mrf_kernel(xl_ref, xc_ref, xr_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *
     # clamped (duplicated) neighbor blocks, and the convs' 'same' padding is zero
     pos = t0 - H + jax.lax.broadcasted_iota(jnp.int32, (block_t + 2 * H, 1), 0)
     valid = (pos >= 0) & (pos < t_total)
-    y = _lrelu(jnp.where(valid, ext, 0))
+    y = _lrelu(jnp.where(valid, ext, 0)).astype(xc.dtype)
 
     # conv1 (dilated k taps) over [-h2, block_t + h2): each tap one MXU matmul
     c = (k - 1) // 2
@@ -85,7 +88,10 @@ def _mrf_kernel(xl_ref, xc_ref, xr_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *
 
 
 def _pick_block_t(t: int) -> int:
-    for cand in (4096, 2048, 1024, 512, 256, 128, 64):
+    # 2048 cap: at 4096 x 128 lanes the tile + f32 accumulators + Pallas's
+    # double-buffered in/out blocks exceed the 16 MB VMEM budget (measured
+    # 18.5 MB OOM at the k=7, C=128 stage)
+    for cand in (2048, 1024, 512, 256, 128, 64):
         if t % cand == 0:
             return min(cand, t)
     return 0  # no viable tiling — caller falls back to the XLA path

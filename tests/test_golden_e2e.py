@@ -23,14 +23,15 @@ import jax.numpy as jnp
 
 from tests.golden_utils import synth_state_dict
 
-FIXTURE = Path(__file__).parent / "fixtures" / "golden_e2e.npz"
+FIXDIR = Path(__file__).parent / "fixtures"
 
 
-@pytest.fixture(scope="module")
-def fx():
-    if not FIXTURE.exists():
+@pytest.fixture(scope="module", params=["golden_e2e.npz", "golden_e2e_midpoint.npz"])
+def fx(request):
+    path = FIXDIR / request.param
+    if not path.exists():
         pytest.skip("golden e2e fixture missing — run python -m tests.make_golden_e2e")
-    return np.load(FIXTURE)
+    return np.load(path)
 
 
 def test_full_size_synthesise_matches_golden(fx):
@@ -40,7 +41,8 @@ def test_full_size_synthesise_matches_golden(fx):
     spec = {k[len("spec/"):]: tuple(fx[k]) for k in fx.files if k.startswith("spec/")}
     params = convert_matcha_state_dict(synth_state_dict(spec))
 
-    model = MatchaTTS(MatchaConfig())
+    solver = str(fx["solver"]) if "solver" in fx.files else "euler"
+    model = MatchaTTS(MatchaConfig(solver=solver))
     out = model.apply(
         {"params": params},
         jnp.asarray(fx["x"], jnp.int32), jnp.asarray(fx["xl"], jnp.int32),

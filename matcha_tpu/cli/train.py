@@ -42,8 +42,9 @@ def main():
     ap.add_argument("--steps-per-dispatch", type=int, default=1,
                     help="run K gradient steps per device dispatch (lax.scan over "
                          "stacked same-shape batches) — amortizes host dispatch "
-                         "latency; rng key sequence is identical to K=1, updates "
-                         "equal within AdamW fusion tolerance")
+                         "latency; a pure performance knob: K-independent batch "
+                         "order and fold_in rng keys keep the trajectory equal "
+                         "across K (scan-fusion ulps only)")
     ap.add_argument("--ckpt-every", type=int, default=1,
                     help="checkpoint every N epochs (final epoch always saved); "
                          "raise for long runs where the Orbax write dominates "

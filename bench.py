@@ -356,6 +356,36 @@ def bench_train(batch=16, tx=64, ty=512, k=8, iters=6, precision="fp32",
     return t_single * 1e3, t_scan * 1e3, k, step_flops
 
 
+def mas_fused_check(batch=128):
+    """Pallas MAS inside the FULL fused training-loss graph == lax.scan reference.
+
+    Regression guard for an XLA:TPU miscompile found in r4: in the full-size
+    batch-128 compute_losses graph, the `mask[:, 0, :].sum(axis=1)` mel-length
+    derivation came back off by exactly 64 per sample (all other reductions of
+    the same mask correct), collapsing the MAS band into invalid zero-duration
+    alignments. Fixed by passing x/y lengths into the kernel explicitly
+    (models/matcha.py, ops/mas_pallas.py). Standalone-kernel equality
+    (bench_mas) cannot catch this class — only the fused graph does.
+    """
+    from matcha_tpu.data.dataset import DataConfig, SyntheticDataset, batch_iterator
+    from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
+
+    model = MatchaTTS(MatchaConfig())
+    params = init_params(model, jax.random.PRNGKey(0))
+    ds = SyntheticDataset(n_items=2048, seed=0)
+    b = next(batch_iterator(ds, DataConfig(batch_size=batch), epoch=0))
+    b.pop("n_real", None)
+    b = {k: jnp.asarray(v) for k, v in b.items()}
+    attn = {}
+    for impl in ("ref", "pallas"):
+        attn[impl] = np.asarray(jax.jit(lambda p, bb, i=impl: model.apply(
+            {"params": p}, bb["x"], bb["x_lengths"], bb["y"], bb["y_lengths"],
+            deterministic=True, mas_impl=i, method=MatchaTTS.compute_losses,
+            rngs={"cfm": jax.random.PRNGKey(1)},
+        ))(params, b)["attn"])
+    return bool(np.array_equal(attn["ref"], attn["pallas"]))
+
+
 def bench_mas(b=32, tx=150, ty=800, iters=10):
     """MAS kernel vs the C++/OpenMP CPU reference at one reference bench shape.
 
@@ -562,6 +592,11 @@ def main():
         )
     except Exception as e:  # C++ toolchain missing etc.
         print(f"mas bench skipped: {e}", file=sys.stderr)
+    mas_fused_equal = None
+    try:
+        mas_fused_equal = mas_fused_check()
+    except Exception as e:
+        print(f"mas fused check skipped: {e}", file=sys.stderr)
 
     result = {
         "metric": "audio_seconds_per_second_per_chip",
@@ -585,6 +620,7 @@ def main():
         "mas_pallas_vs_cpp_speedup": None if mas_speedup is None else round(mas_speedup, 2),
         "mas_shapes": mas_shapes,
         "mas_paths_equal": mas_equal,
+        "mas_fused_paths_equal": mas_fused_equal,
         "omp_num_threads": int(os.environ["OMP_NUM_THREADS"]),
         "train_step_ms": None if train_ms is None else round(train_ms, 2),
         "train_step_ms_scan_dispatch": None if train_scan_ms is None

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--max-epochs", type=int, default=1000)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--synthetic-items", type=int, default=256,
+                    help="synthetic dataset size (tuned-recipe evidence runs need "
+                         "enough items to fill batch*K per dispatch)")
     ap.add_argument("--synthetic", action="store_true",
                     help="train on the synthetic dataset (smoke runs, no LJSpeech needed)")
     ap.add_argument("--tiny", action="store_true",
@@ -70,8 +73,8 @@ def main():
         val_ds = SyntheticDataset(n_items=8, mel_cfg=mel_cfg, seed=1,
                                   min_frames=64, max_frames=96)
     elif args.synthetic:
-        train_ds = SyntheticDataset(n_items=256, seed=0)
-        val_ds = SyntheticDataset(n_items=32, seed=1)
+        train_ds = SyntheticDataset(n_items=args.synthetic_items, seed=0)
+        val_ds = SyntheticDataset(n_items=max(args.synthetic_items // 8, 8), seed=1)
     else:
         data_dir = Path(args.data_dir)
         train_txt, val_txt = data_dir / "train.txt", data_dir / "val.txt"

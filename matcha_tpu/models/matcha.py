@@ -116,7 +116,10 @@ class MatchaTTS(nn.Module):
             cross = jnp.einsum("bxf,byf->bxy", mu_sg, y)
             s_mm = -0.5 * jnp.sum(mu_sg**2, axis=-1)  # (B, Tx)
             log_prior = s_yy[:, None, :] + cross + s_mm[:, :, None] + const
-            attn = maximum_path(log_prior, jax.lax.stop_gradient(attn_mask), impl=mas_impl)
+            # lengths passed EXPLICITLY: deriving them from the mask inside this
+            # fused graph hit an XLA reduction miscompile (see maximum_path_pallas)
+            attn = maximum_path(log_prior, jax.lax.stop_gradient(attn_mask),
+                                impl=mas_impl, t_x=x_lengths, t_y=y_lengths)
             attn = jax.lax.stop_gradient(attn)
 
         # Duration loss on log-domain frame counts (`matcha_tts.py:287-288`).

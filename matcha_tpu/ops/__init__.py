@@ -26,10 +26,13 @@ __all__ = [
 ]
 
 
-def maximum_path(value, mask, impl: str = "auto"):
+def maximum_path(value, mask, impl: str = "auto", t_x=None, t_y=None):
     """Batch monotonic alignment search.
 
     impl: 'auto' (Pallas on TPU, scan elsewhere), 'pallas', 'ref', or 'cpp'.
+    t_x/t_y: optional (B,) masked lengths — callers that have them (the training
+    loss does) should pass them; see maximum_path_pallas for the measured
+    XLA fused-graph reduction miscompile this sidesteps.
 
     Precondition (all impls): per sample, the masked mel length must be >= the masked
     text length (`t_y >= t_x`) — a monotonic path where every token claims >= 1 frame
@@ -40,7 +43,7 @@ def maximum_path(value, mask, impl: str = "auto"):
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "ref"
     if impl == "pallas":
-        return maximum_path_pallas(value, mask)
+        return maximum_path_pallas(value, mask, t_x=t_x, t_y=t_y)
     if impl == "ref":
         return maximum_path_ref(value, mask)
     if impl == "cpp":

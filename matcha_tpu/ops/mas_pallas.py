@@ -44,8 +44,13 @@ def _forward_kernel(tx_ref, ty_ref, score_ref, td_ref, dp_ref):
         dp_ref[:] = jnp.full_like(dp_ref, NEG)
 
     b, tx_max = dp_ref.shape
-    tx = tx_ref[:]  # (B, 1) int32
-    ty = ty_ref[:]  # (B, 1) int32
+    # lengths arrive LANE-TILED (B, 128) and are sliced to (B, 1) here: an
+    # (N, 1) int32 custom-call operand takes a degenerate-dim relayout copy
+    # that XLA:TPU was observed to miscompile in fused graphs (r4: in-graph
+    # mask-sum lengths arrived as garbage -> collapsed alignment paths, while
+    # the same kernel on entry-parameter operands was bit-correct)
+    tx = tx_ref[:, :1]  # (B, 1) int32
+    ty = ty_ref[:, :1]  # (B, 1) int32
     xs = jax.lax.broadcasted_iota(jnp.int32, (b, tx_max), 1)
 
     def frame(j, _):
@@ -76,8 +81,8 @@ def _backward_kernel(tx_ref, ty_ref, td_ref, out_ref, idx_ref):
     chunk = td_ref.shape[0]
     c = n_chunks - 1 - s
 
-    tx = tx_ref[:]
-    ty = ty_ref[:]
+    tx = tx_ref[:, :1]  # lane-tiled operands, see _forward_kernel
+    ty = ty_ref[:, :1]
 
     @pl.when(s == 0)
     def _init():
@@ -109,8 +114,11 @@ def _mas_pallas(score_t: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray, interp
     ty_max, b, tx_max = score_t.shape
     assert ty_max % CHUNK == 0
     n_chunks = ty_max // CHUNK
-    tx_col = t_x.reshape(b, 1).astype(jnp.int32)
-    ty_col = t_y.reshape(b, 1).astype(jnp.int32)
+    # lane-tile the per-sample lengths to (B, 128): a degenerate (B, 1) int32
+    # operand forces a relayout copy that miscompiles in fused graphs (see
+    # _forward_kernel comment); a full-lane operand takes the plain path
+    tx_col = jnp.broadcast_to(t_x.reshape(b, 1).astype(jnp.int32), (b, 128))
+    ty_col = jnp.broadcast_to(t_y.reshape(b, 1).astype(jnp.int32), (b, 128))
 
     row_spec = pl.BlockSpec((CHUNK, b, tx_max), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -142,13 +150,24 @@ def _mas_pallas(score_t: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray, interp
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def maximum_path_pallas(value: jnp.ndarray, mask: jnp.ndarray, interpret=None) -> jnp.ndarray:
+def maximum_path_pallas(value: jnp.ndarray, mask: jnp.ndarray, interpret=None,
+                        t_x=None, t_y=None) -> jnp.ndarray:
     """Batch MAS with reference-wrapper semantics (`monotonic_align/__init__.py:40`).
 
     Args:
         value: (B, Tx, Ty) alignment scores.
         mask: (B, Tx, Ty) attention mask.
         interpret: force Pallas interpreter mode (defaults to True off-TPU).
+        t_x, t_y: optional (B,) masked text/mel lengths. PASS THEM WHEN THE
+            CALLER HAS THEM (compute_losses does): deriving t_y from the mask
+            inside a large fused graph hit a measured XLA:TPU miscompile — the
+            `mask[:, 0, :].sum(axis=1)` slice-of-middle-axis reduce came back
+            off by exactly 64 per sample in a full-size batch-128 training
+            graph (r4; every other reduction of the same mask was correct),
+            which collapsed the DP band and produced invalid paths. The
+            fallback derivation here reduces a full-axis max instead of a
+            slice, which did not exhibit the bug, but explicit lengths bypass
+            the pattern entirely (and skip two reductions).
     Returns:
         (B, Tx, Ty) 0/1 path, dtype of `value`.
     """
@@ -157,8 +176,12 @@ def maximum_path_pallas(value: jnp.ndarray, mask: jnp.ndarray, interpret=None) -
     out_dtype = value.dtype
     b, tx_max, ty_max = value.shape
     value = (value * mask).astype(jnp.float32)
-    t_x = mask[:, :, 0].sum(axis=1).astype(jnp.int32)
-    t_y = mask[:, 0, :].sum(axis=1).astype(jnp.int32)
+    if t_x is None:
+        t_x = jnp.max(mask, axis=2).sum(axis=1)
+    if t_y is None:
+        t_y = jnp.max(mask, axis=1).sum(axis=1)
+    t_x = t_x.astype(jnp.int32)
+    t_y = t_y.astype(jnp.int32)
 
     # Pad lanes (Tx) to 128, sublanes (B) to 8, frames (Ty) to the chunk size.
     # Padded frames have an empty DP band and inactive backtrack rows, so they are

@@ -75,3 +75,29 @@ def test_degenerate_equal_lengths():
     mask = np.ones((b, t, t), dtype=np.float32)
     ref = np.asarray(maximum_path_ref(value, mask))
     np.testing.assert_array_equal(ref, np.broadcast_to(np.eye(t, dtype=np.float32), (b, t, t)))
+
+
+def test_maximum_path_explicit_lengths_match_mask_derived():
+    """t_x/t_y passed explicitly == derived from the mask (the training loss
+    passes them to sidestep a measured XLA fused-graph reduction miscompile —
+    see maximum_path_pallas; both routes must agree in exact semantics)."""
+    import jax.numpy as jnp
+
+    from matcha_tpu.ops import maximum_path, maximum_path_pallas
+
+    rng = np.random.default_rng(3)
+    b, tx, ty = 6, 24, 48
+    t_x = rng.integers(8, tx + 1, size=b)
+    t_y = np.maximum(rng.integers(ty // 2, ty + 1, size=b), t_x)
+    mask = ((np.arange(tx)[None] < t_x[:, None])[:, :, None]
+            * (np.arange(ty)[None] < t_y[:, None])[:, None, :]).astype(np.float32)
+    value = rng.standard_normal((b, tx, ty)).astype(np.float32)
+    p_derived = np.asarray(maximum_path_pallas(jnp.asarray(value), jnp.asarray(mask)))
+    p_explicit = np.asarray(maximum_path_pallas(
+        jnp.asarray(value), jnp.asarray(mask),
+        t_x=jnp.asarray(t_x), t_y=jnp.asarray(t_y)))
+    np.testing.assert_array_equal(p_derived, p_explicit)
+    p_disp = np.asarray(maximum_path(jnp.asarray(value), jnp.asarray(mask),
+                                     impl="pallas", t_x=jnp.asarray(t_x),
+                                     t_y=jnp.asarray(t_y)))
+    np.testing.assert_array_equal(p_disp, p_explicit)

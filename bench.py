@@ -141,23 +141,33 @@ def bench_synthesis(batch=64, tx=64, ty=512, n_timesteps=10, iters=5, bf16=False
     return audio_seconds / wall, wall, audio_seconds, flops
 
 
-def bench_single_sentence(vocoder: str, n_timesteps=50, tx=42, ty=256, iters=5):
+# One sentence for EVERY single_sentence row (fused and unfused): identical text
+# + identical (seed-0) params => identical predicted mel length, so the rows'
+# x_realtime values are apples-to-apples (r4 verdict: the unfused rows used to
+# synthesize a fixed 256-frame clip while fused rows decoded ~1 s of predicted
+# audio, making x_realtime incomparable across rows).
+SINGLE_SENTENCE_TEXT = "the quick brown fox jumps over the lazy sleeping dog today"
+
+
+def bench_single_sentence(vocoder: str, n_timesteps=50, ty=256, iters=5):
     """Single-sentence text->wav latency (both BASELINE.md vocoder paths).
 
     Mirrors the inference scripts' configs: 50 ODE steps (`generate.py:55-61`),
     Griffin-Lim with 32 iterations / NNLS inverse mel, or the HiFi-GAN v1 generator
     (`generate_HifiGan.py:104-110`). Randomly initialized weights — identical FLOPs
-    and memory traffic to trained ones.
+    and memory traffic to trained ones. Returns (x_realtime, wall_s, audio_s) with
+    audio_s from the model's own predicted duration of SINGLE_SENTENCE_TEXT.
     """
     from matcha_tpu.audio.mel import MelConfig
     from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
+    from matcha_tpu.text import simple_text_to_sequence
 
     model = MatchaTTS(MatchaConfig())
     params = init_params(model, jax.random.PRNGKey(0))
     mel_cfg = MelConfig()
-    rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.integers(3, 140, size=(1, tx)), jnp.int32)
-    xl = jnp.full((1,), tx, jnp.int32)
+    seq = simple_text_to_sequence(SINGLE_SENTENCE_TEXT)
+    x = jnp.asarray(np.asarray(seq, np.int32)[None, :])
+    xl = jnp.full((1,), len(seq), jnp.int32)
 
     if vocoder == "hifigan":
         from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
@@ -180,13 +190,16 @@ def bench_single_sentence(vocoder: str, n_timesteps=50, tx=42, ty=256, iters=5):
             {"params": params}, x, xl, ty, n_timesteps,
             method=MatchaTTS.synthesise_fixed, rngs={"noise": key},
         )
-        return jnp.sum(wav_fn(out["mel"], key))
+        # (2,) [checksum, predicted mel frames]: one fetch = one tunnel sync
+        return jnp.stack([jnp.sum(wav_fn(out["mel"], key)),
+                          out["mel_lengths"][0].astype(jnp.float32)])
 
     jfn = jax.jit(full)
-    float(jfn(params, x, xl, jax.random.PRNGKey(3)))  # compile + run
-    wall = _median_time(lambda: float(jfn(params, x, xl, jax.random.PRNGKey(4))), iters)
-    audio_seconds = ty * HOP / SR
-    return audio_seconds / wall, wall
+    res = np.asarray(jfn(params, x, xl, jax.random.PRNGKey(3)))  # compile + run
+    wall = _median_time(
+        lambda: np.asarray(jfn(params, x, xl, jax.random.PRNGKey(4))), iters)
+    audio_seconds = float(res[1]) * HOP / SR  # the sentence's PREDICTED audio
+    return audio_seconds / wall, wall, audio_seconds
 
 
 def _full_size_engine(vocoder="hifigan", steps=10, bf16=True,
@@ -273,12 +286,12 @@ def bench_single_sentence_fused(vocoder: str, steps=50, budget=256, iters=5):
     steps, `/root/reference/generate.py:55`)."""
     eng = _full_size_engine(vocoder=vocoder, steps=steps, mel_budgets=(budget,),
                             max_batch=1)
-    text = "the quick brown fox jumps over the lazy sleeping dog today"
+    text = SINGLE_SENTENCE_TEXT  # same sentence as the unfused rows (see above)
     eng.synthesise_lowlatency(text, seed=0)  # compile
     wall = _median_time(lambda: eng.synthesise_lowlatency(text, seed=1), iters)
     _, info = eng.synthesise_lowlatency(text, seed=1)
     audio_seconds = info["mel_lengths"][0] * HOP / SR
-    return audio_seconds / wall, wall
+    return audio_seconds / wall, wall, audio_seconds
 
 
 def bench_train(batch=16, tx=64, ty=512, k=8, iters=6, precision="fp32",
@@ -528,14 +541,16 @@ def main():
             s_xrt, _, _, _ = bench_synthesis(n_timesteps=steps, iters=3, bf16=not no_bf16)
             ode_sweep[str(steps)] = round(s_xrt, 1)
         for voc in ("griffin_lim", "hifigan"):
-            v_xrt, v_wall = bench_single_sentence(voc, iters=3)
-            single[voc] = {"x_realtime": round(v_xrt, 1), "wall_s": round(v_wall, 4)}
+            v_xrt, v_wall, v_audio = bench_single_sentence(voc, iters=3)
+            single[voc] = {"x_realtime": round(v_xrt, 1), "wall_s": round(v_wall, 4),
+                           "audio_s": round(v_audio, 3)}
         if not no_bf16:
             try:
                 for voc in ("griffin_lim", "hifigan"):
-                    f_xrt, f_wall = bench_single_sentence_fused(voc, iters=3)
+                    f_xrt, f_wall, f_audio = bench_single_sentence_fused(voc, iters=3)
                     single[voc + "_fused_bf16"] = {
-                        "x_realtime": round(f_xrt, 1), "wall_s": round(f_wall, 4)}
+                        "x_realtime": round(f_xrt, 1), "wall_s": round(f_wall, 4),
+                        "audio_s": round(f_audio, 3)}
                 serve_latency = bench_serve_latency()
             except Exception as e:
                 print(f"serve latency bench skipped: {e}", file=sys.stderr)

@@ -42,6 +42,7 @@ Usage:
 
 import threading
 import time
+import warnings
 from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
 
@@ -289,11 +290,17 @@ class TTSEngine:
     def _synth_fused_impl(self, params, x, xl, key, *, budget):
         """Whole pipeline — encode + decode + vocode — as ONE graph at a static
         budget: the low-latency path (synthesise_lowlatency). No host read of the
-        predicted lengths, so a single dispatch + a single device->host sync."""
+        predicted lengths, so a single dispatch + a single device->host sync.
+        The UNCLAMPED predicted frame count rides as one more tail element so the
+        host can flag truncation without a second sync."""
         mu_x, w_ceil, x_mask, y_lengths = self._encode_impl(params, x, xl)
-        return self._decode_vocode_batch_impl(
+        packed = self._decode_vocode_batch_impl(
             params, mu_x, w_ceil, x_mask, jnp.minimum(y_lengths, budget), key,
             budget=budget)
+        tail_dtype = jnp.int16 if self.cfg.output_dtype == "int16" else jnp.float32
+        return jnp.concatenate(
+            [packed, jnp.minimum(y_lengths, 32767).astype(tail_dtype)[:, None]],
+            axis=1)
 
     def _vocode_impl(self, mel, key):
         if self._gen is not None:
@@ -397,8 +404,19 @@ class TTSEngine:
             t0 = time.perf_counter()
             x, xl = self._tokenize(texts)
             mu_x, w_ceil, x_mask, y_lengths = self._encode(self.params, x, xl)
-            max_frames = int(np.asarray(y_lengths).max())
+            y_np = np.asarray(y_lengths)
+            max_frames = int(y_np.max())
             budget = self._pick_budget(fix_len_compatibility(max_frames))
+            # No silent truncation (deviation from the reference, whose y_lengths
+            # is unbounded — `matcha_tts.py:220-222`): decode_fixed clamps each
+            # sample to the budget in-graph; any sample whose PREDICTED length
+            # exceeds the largest configured budget is flagged per-text.
+            truncated = [int(f) > budget for f in y_np[: len(texts)]]
+            if any(truncated):
+                warnings.warn(
+                    f"{sum(truncated)}/{len(texts)} utterance(s) exceed the largest "
+                    f"mel budget ({budget} frames) and will be truncated; raise "
+                    "ServeConfig.mel_budgets for longer audio", stacklevel=2)
             # NOTE: no host-side clamp/gather ops here — decode_fixed clamps
             # y_lengths to the budget in-graph, and every eager op would be an
             # extra executable launch through the device tunnel.
@@ -422,7 +440,8 @@ class TTSEngine:
         from matcha_tpu.utils.profiling import rtf
 
         info = {"rtf": rtf(wall, int(lengths.sum()), hop, sr), "budget": budget,
-                "wall_s": wall, "mel_lengths": lengths.tolist()}
+                "wall_s": wall, "mel_lengths": lengths.tolist(),
+                "truncated": truncated}
         return wavs, info
 
     def synthesise_lowlatency(self, text: str, seed: Optional[int] = None,
@@ -445,14 +464,23 @@ class TTSEngine:
             t0 = time.perf_counter()
             x, xl = self._tokenize([text])
             packed = self._synth_fused(self.params, x, xl, key, budget=budget)
-            wav, lengths = self._unpack_wav(packed)  # the single sync
+            arr = np.asarray(packed)  # the single sync
             wall = time.perf_counter() - t0
+        # tail layout: [..., clamped mel length, unclamped predicted length]
+        wav, lengths = arr[:, :-2], arr[:, -2].astype(np.int32)
+        predicted = int(arr[0, -1])
         hop, sr = self.cfg.mel_cfg.hop_size, self.cfg.mel_cfg.sample_rate
         ml = int(lengths[0])
+        truncated = predicted > budget
+        if truncated:
+            warnings.warn(
+                f"utterance predicts {predicted} mel frames, beyond the {budget}-"
+                "frame budget — output truncated; pass a larger `budget`",
+                stacklevel=2)
         from matcha_tpu.utils.profiling import rtf
 
         info = {"rtf": rtf(wall, ml, hop, sr), "budget": budget, "wall_s": wall,
-                "mel_lengths": [ml]}
+                "mel_lengths": [ml], "truncated": truncated}
         return wav[0, : min(ml * hop, wav.shape[1])], info
 
     def _next_key_locked(self):
@@ -602,10 +630,17 @@ class TTSEngine:
 
                 for j, i in enumerate(idx):
                     ml = int(lengths[j])
+                    trunc = int(y_np[i]) > budget  # predicted > its own budget
+                    if trunc:
+                        warnings.warn(
+                            f"request predicts {int(y_np[i])} mel frames, beyond "
+                            f"the largest budget ({budget}) — output truncated",
+                            stacklevel=2)
                     reqs[i].wav = wav[j, : min(ml * hop, wav.shape[1])]
                     reqs[i].info = {
                         "budget": budget, "mel_length": ml, "wall_s": wall,
                         "latency_s": now - reqs[i].t_enqueue,
                         "rtf": rtf(wall, ml, hop, sr), "group_size": len(reqs),
+                        "truncated": trunc,
                     }
                     reqs[i].event.set()

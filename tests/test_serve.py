@@ -334,3 +334,52 @@ def test_attn_impl_auto_selection():
         assert i_auto["mel_lengths"] == i_xla["mel_lengths"]
         for a, b in zip(w_auto, w_xla):
             np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
+
+
+def test_engine_flags_truncation_past_largest_budget():
+    """No silent truncation (r4 verdict item 3): a text whose PREDICTED mel
+    length exceeds the largest configured budget must come back flagged
+    `truncated` (with a warning) through every engine entry point — the
+    reference's y_lengths is unbounded (`matcha_tts.py:220-222`), so a clamped
+    static-budget engine owes the caller an explicit signal."""
+    import warnings as _warnings
+
+    model = MatchaTTS(TINY)
+    params = init_params(model, jax.random.PRNGKey(0))
+    cfg = ServeConfig(n_timesteps=2, mel_budgets=(32,), max_batch=4,
+                      vocoder="griffin_lim", mel_cfg=MEL8)
+    eng = TTSEngine(params, model_cfg=TINY, cfg=cfg)
+    # w_ceil = ceil(exp(logw)) >= 1 frame per token, so any text with more
+    # tokens than the largest budget is guaranteed to predict past it
+    long_text = "this utterance is deliberately much longer than the budget " * 2
+    short_text = "hi"
+
+    with pytest.warns(UserWarning, match="truncated"):
+        wavs, info = eng.synthesise([long_text, short_text], seeds=[1, 2])
+    assert info["truncated"] == [True, False]
+    assert info["mel_lengths"][0] == 32  # clamped to the budget
+    # the flag tracks the model's own prediction
+    x, xl = eng._tokenize([long_text, short_text])
+    _, _, _, y_pred = model.apply({"params": params}, x, xl,
+                                  method=MatchaTTS.encode_durations)
+    assert int(np.asarray(y_pred)[0]) > 32 and int(np.asarray(y_pred)[1]) <= 32
+
+    with pytest.warns(UserWarning, match="truncated"):
+        _, info_ll = eng.synthesise_lowlatency(long_text, seed=3)
+    assert info_ll["truncated"] is True
+    _, info_ok = eng.synthesise_lowlatency(short_text, seed=3)
+    assert info_ok["truncated"] is False
+
+    # through the batching ENGINE front-end (the r4-verdict gap: only the model
+    # seam was covered before)
+    eng.start_batching(max_wait_ms=1)
+    try:
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            wav, rinfo = eng.serve(long_text, seed=4)
+        assert rinfo["truncated"] is True
+        assert any("truncated" in str(w.message) for w in rec)
+        _, rinfo2 = eng.serve(short_text, seed=5)
+        assert rinfo2["truncated"] is False
+    finally:
+        eng.stop_batching()

@@ -295,7 +295,7 @@ def bench_single_sentence_fused(vocoder: str, steps=50, budget=256, iters=5):
 
 
 def bench_train(batch=16, tx=64, ty=512, k=8, iters=6, precision="fp32",
-                out_size=None):
+                out_size=None, attn_impl="xla", remat=None):
     """Fused training-step throughput: single dispatch vs K-steps-per-dispatch scan.
 
     The full-size fused step (encoder + Pallas MAS + CFM U-Net fwd/bwd + AdamW,
@@ -308,12 +308,18 @@ def bench_train(batch=16, tx=64, ty=512, k=8, iters=6, precision="fp32",
     cost analysis of ONE un-scanned fused step (encoder + MAS + U-Net fwd/bwd +
     optimizer), the numerator of train_mfu.
     """
+    import dataclasses
+
     from matcha_tpu.models.matcha import MatchaConfig, MatchaTTS, init_params
     from matcha_tpu.train.trainer import (
         TrainConfig, make_optimizer, make_train_step, make_train_steps_scan,
     )
 
-    model = MatchaTTS(MatchaConfig())
+    mcfg = MatchaConfig()
+    if attn_impl != "xla" or remat is not None:
+        mcfg = dataclasses.replace(mcfg, decoder=dataclasses.replace(
+            mcfg.decoder, attn_impl=attn_impl, remat=remat))
+    model = MatchaTTS(mcfg)
     cfg = TrainConfig(log_grad_norm=False, precision=precision, out_size=out_size)
     tx_opt = make_optimizer(cfg, steps_per_epoch=16)
     rng = np.random.default_rng(2)

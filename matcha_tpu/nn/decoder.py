@@ -44,8 +44,16 @@ class DecoderConfig:
     num_heads: int = 4
     # "xla": einsum attention (reference-parity default); "pallas": fused VMEM
     # attention kernel (ops/attention_pallas.py) — the serving hot-path choice;
-    # parameter trees are identical, so the flag can be flipped per deployment
+    # parameter trees are identical, so the flag can be flipped per deployment.
+    # The Pallas kernel carries a custom_vjp fused backward, so "pallas" is
+    # valid inside the training graph too.
     attn_impl: str = "xla"
+    # Rematerialization of the U-Net blocks (training memory/HBM-traffic knob):
+    # None = save all activations (XLA default); "full" = recompute everything
+    # in the backward (nn.remat, nothing saved); "dots" = save only matmul
+    # outputs (jax.checkpoint_policies.checkpoint_dots). Parameter trees are
+    # identical across settings (nn.remat is name-transparent).
+    remat: Optional[str] = None
 
 
 def _kaiming_relu():
@@ -184,16 +192,41 @@ class Decoder(nn.Module):
 
         x = jnp.concatenate([x, mu], axis=-1)
 
+        # Optional per-block rematerialization (see DecoderConfig.remat).
+        # nn.remat RENAMES the wrapped class (Checkpoint<cls>), which would shift
+        # flax's auto-generated parameter names — so blocks are ALWAYS created
+        # with explicit names matching the unwrapped auto-names, keeping the
+        # parameter tree identical across remat settings. static_argnums counts
+        # `self` as 0 -> deterministic is arg 3, seq_axis arg 4 of
+        # BasicTransformerBlock.__call__.
+        if cfg.remat is not None:
+            policy = {"full": None,
+                      "dots": jax.checkpoint_policies.checkpoint_dots}[cfg.remat]
+            ResBlkCls = nn.remat(ResnetBlock1D, prevent_cse=False, policy=policy)
+            TfmBlkCls = nn.remat(BasicTransformerBlock, prevent_cse=False,
+                                 policy=policy, static_argnums=(3, 4))
+        else:
+            ResBlkCls, TfmBlkCls = ResnetBlock1D, BasicTransformerBlock
+        counters = {"res": 0, "tfm": 0}
+
+        def ResBlk(ch):
+            m = ResBlkCls(ch, name=f"ResnetBlock1D_{counters['res']}")
+            counters["res"] += 1
+            return m
+
         def transformer_stack(h, m2d):
             for _ in range(cfg.n_blocks):
-                h = BasicTransformerBlock(
+                blk = TfmBlkCls(
                     dim=h.shape[-1],
                     num_attention_heads=cfg.num_heads,
                     attention_head_dim=cfg.attention_head_dim,
                     dropout=cfg.dropout,
                     activation_fn="gelu",
                     attn_impl=cfg.attn_impl,
-                )(h, m2d, deterministic=deterministic, seq_axis=seq_axis)
+                    name=f"BasicTransformerBlock_{counters['tfm']}",
+                )
+                counters["tfm"] += 1
+                h = blk(h, m2d, deterministic, seq_axis)
             return h
 
         hiddens = []
@@ -204,7 +237,7 @@ class Decoder(nn.Module):
         for i, ch in enumerate(cfg.channels):
             is_last = i == n_levels - 1
             mask_down = masks[-1]
-            x = ResnetBlock1D(ch)(x, mask_down, t_emb)
+            x = ResBlk(ch)(x, mask_down, t_emb)
             x = transformer_stack(x, mask_down[:, :, 0])
             hiddens.append(x)
             if not is_last:
@@ -220,7 +253,7 @@ class Decoder(nn.Module):
 
         # ---- mid path --------------------------------------------------------
         for _ in range(cfg.num_mid_blocks):
-            x = ResnetBlock1D(cfg.channels[-1])(x, mask_mid, t_emb)
+            x = ResBlk(cfg.channels[-1])(x, mask_mid, t_emb)
             x = transformer_stack(x, mask_mid[:, :, 0])
 
         # ---- up path ---------------------------------------------------------
@@ -234,7 +267,7 @@ class Decoder(nn.Module):
             # nearest-interp mismatch branch (`decoder.py:338-339`) unreachable.
             assert x.shape[1] == hidden.shape[1], "skip-join length mismatch: pad mel with fix_len_compatibility"
             x = jnp.concatenate([x, hidden], axis=-1)
-            x = ResnetBlock1D(out_ch)(x, mask_up, t_emb)
+            x = ResBlk(out_ch)(x, mask_up, t_emb)
             x = transformer_stack(x, mask_up[:, :, 0])
             if not is_last:
                 x = Upsample1D(out_ch)(x * mask_up)

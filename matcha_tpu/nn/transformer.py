@@ -159,12 +159,14 @@ class BasicTransformerBlock(nn.Module):
     attn_impl: str = "xla"  # see DiffusersAttention.attn_impl
 
     @nn.compact
-    def __call__(self, x, attention_mask=None, *, deterministic: bool = True,
+    def __call__(self, x, attention_mask=None, deterministic: bool = True,
                  seq_axis: Optional[str] = None):
         """
         Args:
             x: (B, T, C) hidden states.
             attention_mask: (B, T) 0/1 float mask (added to logits, see module doc).
+            deterministic/seq_axis: positional-or-keyword (NOT keyword-only) so
+                nn.remat can mark them static via static_argnums (decoder remat).
             seq_axis: optional mesh axis for ring attention over sharded T.
         """
         h = nn.LayerNorm(epsilon=1e-5)(x)

@@ -84,6 +84,107 @@ def _fused_attention(q, k, v, bias, scale: float, interpret: bool):
     )(q, k, v, bias)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, dbias_ref, *, scale: float):
+    """Fused attention backward for one (batch, head) cell, flash-style: no
+    residual probabilities are read from HBM — the softmax is RECOMPUTED in VMEM
+    from q/k/bias (one extra (T,T) matmul, trading MXU FLOPs for the HBM
+    round-trip of a (B,H,T,T) tensor), then all four cotangents come out of four
+    more on-chip matmuls. Math (p = softmax(q k^T * scale + bias)):
+
+        dv = p^T do
+        dp = do v^T
+        ds = p * (dp - rowsum(dp * p))        # softmax VJP
+        dq = scale * ds k ;  dk = scale * ds^T q ;  dbias = colsum over queries(ds)
+    """
+    q = q_ref[0, 0]  # (T, D)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    prec = jax.lax.Precision.DEFAULT  # see dtype note in _attn_kernel
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    ) * scale
+    s = s + bias_ref[0].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (Tq, Tk) f32
+
+    pc = p.astype(v.dtype)  # MXU operands in the activation dtype (fwd parity)
+    dv = jax.lax.dot_general(  # p^T do: contract over queries
+        pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    dp = jax.lax.dot_general(  # do v^T -> (Tq, Tk)
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
+    dsc = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(
+        dsc, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    ) * scale
+    dk = jax.lax.dot_general(  # ds^T q: contract over queries
+        dsc, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    ) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    dbias_ref[0, 0, 0] = jnp.sum(ds, axis=0).astype(dbias_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused_attention_bwd(q, k, v, bias, do, scale: float, interpret: bool):
+    b, h, t, d = q.shape
+    kern = functools.partial(_attn_bwd_kernel, scale=scale)
+    qkv_spec = pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0))
+    dq, dk, dv, dbias = pl.pallas_call(
+        kern,
+        grid=(b, h),
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),
+            qkv_spec,
+        ],
+        out_specs=[
+            qkv_spec, qkv_spec, qkv_spec,
+            # (B, H, 1, T): trailing block dims (1, T) == array dims
+            pl.BlockSpec((1, 1, 1, t), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, t, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, bias, do)
+    # bias is broadcast over heads and query rows: fold the heads here
+    return dq, dk, dv, jnp.sum(dbias[:, :, 0, :], axis=1)[:, None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_core(q, k, v, bias3, scale: float, interpret: bool):
+    return _fused_attention(q, k, v, bias3, scale, interpret)
+
+
+def _attention_core_fwd(q, k, v, bias3, scale, interpret):
+    out = _fused_attention(q, k, v, bias3, scale, interpret)
+    return out, (q, k, v, bias3)  # flash-style: no (T,T) residual saved
+
+
+def _attention_core_bwd(scale, interpret, res, do):
+    q, k, v, bias3 = res
+    dq, dk, dv, dbias = _fused_attention_bwd(q, k, v, bias3, do, scale, interpret)
+    return dq, dk, dv, dbias.astype(bias3.dtype)
+
+
+_attention_core.defvjp(_attention_core_fwd, _attention_core_bwd)
+
+
 def fused_attention(q, k, v, bias=None, scale: float = 1.0, interpret=None):
     """softmax(q @ k^T * scale + bias[:, None, None, :]) @ v, fused in VMEM.
 
@@ -100,4 +201,4 @@ def fused_attention(q, k, v, bias=None, scale: float = 1.0, interpret=None):
         interpret = jax.default_backend() != "tpu"
     if bias is None:
         bias = jnp.zeros((q.shape[0], q.shape[2]), q.dtype)
-    return _fused_attention(q, k, v, bias[:, None, :], float(scale), interpret)
+    return _attention_core(q, k, v, bias[:, None, :], float(scale), interpret)

@@ -41,7 +41,7 @@ def _lrelu(x):
 
 
 def _mrf_kernel(xl_ref, xc_ref, xr_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-                dilation: int, block_t: int, t_total: int):
+                dilation: int, block_t: int, t_total: int, pack: bool):
     k = w1_ref.shape[0]
     h1 = dilation * (k - 1) // 2
     h2 = (k - 1) // 2
@@ -60,53 +60,90 @@ def _mrf_kernel(xl_ref, xc_ref, xr_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *
     valid = (pos >= 0) & (pos < t_total)
     y = _lrelu(jnp.where(valid, ext, 0)).astype(xc.dtype)
 
-    # conv1 (dilated k taps) over [-h2, block_t + h2): each tap one MXU matmul
     c = (k - 1) // 2
-    acc1 = jnp.zeros((block_t + 2 * h2, w1_ref.shape[2]), jnp.float32)
-    for j in range(k):
-        o = (j - c) * dilation
-        sl = y[H - h2 + o : H + h2 + o + block_t]
-        acc1 = acc1 + jax.lax.dot_general(
-            sl, w1_ref[j], (((1,), (0,)), ((), ())),
+    cin, cout = w1_ref.shape[1], w1_ref.shape[2]
+    if pack:
+        # im2col-in-VMEM tap packing (r4 follow-up): stack the k shifted views
+        # along the LANE axis and contract them in ONE (T, k*C) x (k*C, C)
+        # matmul. The narrow-channel stages (C = 32/64 after the 8x upsamples)
+        # dominate the generator's time, and their per-tap matmuls use only
+        # C of the MXU's 128 contraction lanes — packing raises the contraction
+        # to k*C and cuts 2k matmul issues to 2 per dilation step.
+        p1 = jnp.concatenate(
+            [y[H - h2 + (j - c) * dilation : H + h2 + (j - c) * dilation + block_t]
+             for j in range(k)], axis=-1)  # (block_t + 2h2, k*C)
+        acc1 = jax.lax.dot_general(
+            p1, w1_ref[...].reshape(k * cin, cout), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
+    else:
+        # conv1 (dilated k taps) over [-h2, block_t + h2): one matmul per tap
+        acc1 = jnp.zeros((block_t + 2 * h2, cout), jnp.float32)
+        for j in range(k):
+            o = (j - c) * dilation
+            sl = y[H - h2 + o : H + h2 + o + block_t]
+            acc1 = acc1 + jax.lax.dot_general(
+                sl, w1_ref[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
     z = _lrelu(acc1 + b1_ref[0].astype(jnp.float32))
     # conv2's zero padding at the sequence edges: z outside [0, T) must be 0
     # (it would otherwise hold lrelu(bias))
     zpos = t0 - h2 + jax.lax.broadcasted_iota(jnp.int32, (block_t + 2 * h2, 1), 0)
     z = jnp.where((zpos >= 0) & (zpos < t_total), z, 0).astype(xc.dtype)
 
-    acc2 = jnp.zeros((block_t, w2_ref.shape[2]), jnp.float32)
-    for j in range(k):
-        sl = z[j : j + block_t]  # offsets -h2..h2 relative to the output frame
-        acc2 = acc2 + jax.lax.dot_general(
-            sl, w2_ref[j], (((1,), (0,)), ((), ())),
+    if pack:
+        p2 = jnp.concatenate([z[j : j + block_t] for j in range(k)], axis=-1)
+        acc2 = jax.lax.dot_general(
+            p2, w2_ref[...].reshape(k * cout, cout), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
+    else:
+        acc2 = jnp.zeros((block_t, cout), jnp.float32)
+        for j in range(k):
+            sl = z[j : j + block_t]  # offsets -h2..h2 relative to the output frame
+            acc2 = acc2 + jax.lax.dot_general(
+                sl, w2_ref[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
     out = xc.astype(jnp.float32) + acc2 + b2_ref[0].astype(jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _pick_block_t(t: int) -> int:
+def _pick_block_t(t: int, max_block: int = 2048) -> int:
     # 2048 cap: at 4096 x 128 lanes the tile + f32 accumulators + Pallas's
     # double-buffered in/out blocks exceed the 16 MB VMEM budget (measured
-    # 18.5 MB OOM at the k=7, C=128 stage)
+    # 18.5 MB OOM at the k=7, C=128 stage). Packed (im2col) mode caps lower:
+    # the (block_t, k*C) packed operand must also fit.
     for cand in (2048, 1024, 512, 256, 128, 64):
-        if t % cand == 0:
+        if cand <= max_block and t % cand == 0:
             return min(cand, t)
     return 0  # no viable tiling — caller falls back to the XLA path
+
+
+def _pack_mode(k: int, c: int, dtype) -> tuple:
+    """(pack?, max_block): pack taps when channels underfill the MXU's 128
+    contraction lanes; bound the packed operand to ~3 MB of VMEM."""
+    if c > 128:
+        return False, 2048
+    bytes_per = jnp.dtype(dtype).itemsize
+    max_block = 2048
+    while max_block * k * c * bytes_per > 3 * 2**20 and max_block > 64:
+        max_block //= 2
+    return True, max_block
 
 
 @functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
 def _fused_mrf(x, w1, b1, w2, b2, dilation: int, interpret: bool):
     b, t, c = x.shape
     k = w1.shape[0]
-    block_t = _pick_block_t(t)
+    pack, max_block = _pack_mode(k, c, x.dtype)
+    block_t = _pick_block_t(t, max_block)
     h = dilation * (k - 1) // 2 + (k - 1) // 2
     assert block_t >= h, (block_t, h)
     n_tiles = t // block_t
     kern = functools.partial(_mrf_kernel, dilation=dilation, block_t=block_t,
-                             t_total=t)
+                             t_total=t, pack=pack)
     xspec = lambda f: pl.BlockSpec((1, block_t, c), f)
     wspec = lambda arr: pl.BlockSpec(arr.shape, lambda bi, ti: (0,) * arr.ndim)
     return pl.pallas_call(
@@ -137,7 +174,8 @@ def fused_mrf_step(x, w1, b1, w2, b2, dilation: int, interpret=None):
         (B, T, C) in x's dtype, or None if T has no viable tiling (caller must
         fall back to the XLA path).
     """
-    if _pick_block_t(x.shape[1]) == 0:
+    _, max_block = _pack_mode(w1.shape[0], x.shape[-1], x.dtype)
+    if _pick_block_t(x.shape[1], max_block) == 0:
         return None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -147,3 +147,40 @@ def test_pallas_mrf_matches_xla_resblocks():
     assert y_x.shape == y_p.shape
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_fused_mrf_step_pack_modes_match_xla():
+    """fused_mrf_step at BOTH lowering modes — per-tap matmuls (C > 128) and
+    im2col tap packing (C <= 128, the r5 follow-up) — equals the XLA dilated-conv
+    math on random data, including edge-tile zero padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from matcha_tpu.ops.mrf_pallas import _pack_mode, fused_mrf_step
+
+    rng = np.random.default_rng(7)
+    for c, k, d, t in ((32, 11, 5, 128), (64, 7, 3, 256), (256, 3, 5, 128)):
+        pack, _ = _pack_mode(k, c, jnp.float32)
+        assert pack == (c <= 128)
+        x = jnp.asarray(rng.standard_normal((2, t, c)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((c,)) * 0.05, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((c,)) * 0.05, jnp.float32)
+        got = fused_mrf_step(x, w1, b1, w2, b2, dilation=d)
+
+        def lrelu(v):
+            return jnp.where(v >= 0, v, 0.1 * v)
+
+        xt = lrelu(x)
+        xt = jax.lax.conv_general_dilated(
+            xt, w1, (1,), [(d * (k - 1) // 2,) * 2], rhs_dilation=(d,),
+            dimension_numbers=("NWC", "WIO", "NWC")) + b1
+        xt = lrelu(xt)
+        xt = jax.lax.conv_general_dilated(
+            xt, w2, (1,), [((k - 1) // 2,) * 2],
+            dimension_numbers=("NWC", "WIO", "NWC")) + b2
+        want = x + xt
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"c={c} k={k} d={d}")

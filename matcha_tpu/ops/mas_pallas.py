@@ -53,13 +53,15 @@ def _forward_kernel(tx_ref, ty_ref, score_ref, td_ref, dp_ref):
     ty = ty_ref[:, :1]  # (B, 1) int32
     xs = jax.lax.broadcasted_iota(jnp.int32, (b, tx_max), 1)
 
-    def frame(j, _):
+    def frame(j, dp_prev):
+        # dp is LOOP-CARRIED (registers across the unrolled chunk) rather than
+        # round-tripped through the VMEM scratch every frame — the r5 squeeze:
+        # one scratch read + one write per CHUNK frames instead of one per frame.
         y = c * chunk + j
         x_min = jnp.maximum(0, tx + y - ty)
         x_max = jnp.minimum(tx, y + 1)
         in_band = (xs >= x_min) & (xs < x_max)
 
-        dp_prev = dp_ref[:]
         # from_prev[x] = dp_prev[x-1]; x == 0 gets 0 at y == 0 else NEG.
         shifted = pltpu.roll(dp_prev, 1, 1)
         from_prev = jnp.where(xs == 0, jnp.where(y == 0, 0.0, NEG), shifted)
@@ -67,11 +69,10 @@ def _forward_kernel(tx_ref, ty_ref, score_ref, td_ref, dp_ref):
 
         take_diag = (from_prev >= from_same) | (xs == y)
         best = jnp.where(take_diag, from_prev, from_same)
-        dp_ref[:] = jnp.where(in_band, best + score_ref[j], NEG)
         td_ref[j] = take_diag.astype(jnp.float32)
-        return 0
+        return jnp.where(in_band, best + score_ref[j], NEG)
 
-    jax.lax.fori_loop(0, chunk, frame, 0, unroll=True)
+    dp_ref[:] = jax.lax.fori_loop(0, chunk, frame, dp_ref[:], unroll=True)
 
 
 def _backward_kernel(tx_ref, ty_ref, td_ref, out_ref, idx_ref):
@@ -92,35 +93,35 @@ def _backward_kernel(tx_ref, ty_ref, td_ref, out_ref, idx_ref):
     tx_max = out_ref.shape[2]
     xs = jax.lax.broadcasted_iota(jnp.int32, (b, tx_max), 1)
 
-    def frame(jj, _):
+    def frame(jj, idx):
+        # idx loop-carried in registers, like the forward DP row
         j = chunk - 1 - jj
         y = c * chunk + j
-        idx = idx_ref[:]  # (B, 1)
         active = y < ty  # (B, 1) bool
         onehot = xs == idx  # (B, Tx)
         row = onehot & active
         td_at_idx = jnp.sum(jnp.where(onehot, td_ref[j], 0.0), axis=1, keepdims=True)
         dec = active & (y > 0) & (idx > 0) & ((idx == y) | (td_at_idx > 0.5))
-        idx_ref[:] = idx - dec.astype(jnp.int32)
         out_ref[j] = row.astype(jnp.float32)
-        return 0
+        return idx - dec.astype(jnp.int32)
 
-    jax.lax.fori_loop(0, chunk, frame, 0, unroll=True)
+    idx_ref[:] = jax.lax.fori_loop(0, chunk, frame, idx_ref[:], unroll=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _mas_pallas(score_t: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray, interpret=False):
-    """score_t: (Ty, B, Tx) f32 (Ty a multiple of CHUNK); returns (Ty, B, Tx) path rows."""
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def _mas_pallas(score_t: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray, interpret=False,
+                chunk: int = CHUNK):
+    """score_t: (Ty, B, Tx) f32 (Ty a multiple of `chunk`); returns (Ty, B, Tx) path rows."""
     ty_max, b, tx_max = score_t.shape
-    assert ty_max % CHUNK == 0
-    n_chunks = ty_max // CHUNK
+    assert ty_max % chunk == 0
+    n_chunks = ty_max // chunk
     # lane-tile the per-sample lengths to (B, 128): a degenerate (B, 1) int32
     # operand forces a relayout copy that miscompiles in fused graphs (see
     # _forward_kernel comment); a full-lane operand takes the plain path
     tx_col = jnp.broadcast_to(t_x.reshape(b, 1).astype(jnp.int32), (b, 128))
     ty_col = jnp.broadcast_to(t_y.reshape(b, 1).astype(jnp.int32), (b, 128))
 
-    row_spec = pl.BlockSpec((CHUNK, b, tx_max), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((chunk, b, tx_max), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     take_diag = pl.pallas_call(
@@ -134,7 +135,7 @@ def _mas_pallas(score_t: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray, interp
     )(tx_col, ty_col, score_t)
 
     rev_spec = pl.BlockSpec(
-        (CHUNK, b, tx_max), lambda s, n=n_chunks: (n - 1 - s, 0, 0),
+        (chunk, b, tx_max), lambda s, n=n_chunks: (n - 1 - s, 0, 0),
         memory_space=pltpu.VMEM,
     )
     path_rows = pl.pallas_call(
@@ -149,9 +150,9 @@ def _mas_pallas(score_t: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray, interp
     return path_rows
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
 def maximum_path_pallas(value: jnp.ndarray, mask: jnp.ndarray, interpret=None,
-                        t_x=None, t_y=None) -> jnp.ndarray:
+                        t_x=None, t_y=None, chunk: int = CHUNK) -> jnp.ndarray:
     """Batch MAS with reference-wrapper semantics (`monotonic_align/__init__.py:40`).
 
     Args:
@@ -188,7 +189,7 @@ def maximum_path_pallas(value: jnp.ndarray, mask: jnp.ndarray, interpret=None,
     # inert (same mechanism that handles per-sample t_y < Ty).
     tx_pad = _round_up(max(tx_max, 1), 128)
     b_pad = _round_up(max(b, 1), 8)
-    ty_pad = _round_up(max(ty_max, 1), CHUNK)
+    ty_pad = _round_up(max(ty_max, 1), chunk)
     score_t = jnp.transpose(value, (2, 0, 1))  # (Ty, B, Tx)
     score_t = jnp.pad(
         score_t, ((0, ty_pad - ty_max), (0, b_pad - b), (0, tx_pad - tx_max))
@@ -196,6 +197,6 @@ def maximum_path_pallas(value: jnp.ndarray, mask: jnp.ndarray, interpret=None,
     t_x = jnp.pad(t_x, (0, b_pad - b))
     t_y = jnp.pad(t_y, (0, b_pad - b))
 
-    rows = _mas_pallas(score_t, t_x, t_y, interpret=interpret)
+    rows = _mas_pallas(score_t, t_x, t_y, interpret=interpret, chunk=chunk)
     path = jnp.transpose(rows, (1, 2, 0))[:b, :tx_max, :ty_max]  # (B, Tx, Ty)
     return (path * mask).astype(out_dtype)

@@ -295,7 +295,7 @@ def bench_single_sentence_fused(vocoder: str, steps=50, budget=256, iters=5):
 
 
 def bench_train(batch=16, tx=64, ty=512, k=8, iters=6, precision="fp32",
-                out_size=None, attn_impl="xla", remat=None):
+                out_size=None, attn_impl="xla", remat=None, accumulate_steps=2):
     """Fused training-step throughput: single dispatch vs K-steps-per-dispatch scan.
 
     The full-size fused step (encoder + Pallas MAS + CFM U-Net fwd/bwd + AdamW,
@@ -320,7 +320,8 @@ def bench_train(batch=16, tx=64, ty=512, k=8, iters=6, precision="fp32",
         mcfg = dataclasses.replace(mcfg, decoder=dataclasses.replace(
             mcfg.decoder, attn_impl=attn_impl, remat=remat))
     model = MatchaTTS(mcfg)
-    cfg = TrainConfig(log_grad_norm=False, precision=precision, out_size=out_size)
+    cfg = TrainConfig(log_grad_norm=False, precision=precision, out_size=out_size,
+                      accumulate_steps=accumulate_steps)
     tx_opt = make_optimizer(cfg, steps_per_epoch=16)
     rng = np.random.default_rng(2)
     mel = np.cumsum(0.1 * rng.standard_normal((batch, ty, 80)), axis=1)

@@ -190,14 +190,15 @@ def test_batch_worker_partial_failure_preserves_delivered(engine, monkeypatch):
 
     eng, _ = engine
 
-    def fake_process(reqs):
-        # first request delivered, then the group blows up
+    def fake_dispatch(reqs, out_q):
+        # first request delivered, then the group blows up before dispatching
+        # the rest (stage-A failure: only undispatched requests get the error)
         reqs[0].wav = np.zeros(10, np.float32)
         reqs[0].info = {"budget": 32}
         reqs[0].event.set()
         raise RuntimeError("boom")
 
-    monkeypatch.setattr(eng, "_process_group", fake_process)
+    monkeypatch.setattr(eng, "_dispatch_group", fake_dispatch)
     eng.start_batching(max_wait_ms=500)
     try:
         results, errors = {}, {}

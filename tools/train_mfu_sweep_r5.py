@@ -38,7 +38,7 @@ peak = bench.PEAK_FLOPS.get(jax.devices()[0].device_kind)
 t_single, t_scan, k, flops = bench.bench_train(
     batch=cfg["batch"], precision=cfg["precision"], iters=cfg["iters"], k=8,
     out_size=cfg.get("out_size"), attn_impl=cfg.get("attn_impl", "xla"),
-    remat=cfg.get("remat"),
+    remat=cfg.get("remat"), accumulate_steps=cfg.get("accumulate_steps", 2),
 )
 row = {
     "train_step_ms_k1": round(t_single, 2),
@@ -89,9 +89,15 @@ def main():
         ("attn_pallas", dict(base, attn_impl="pallas"), ""),
         ("remat_full", dict(base, remat="full"), ""),
         ("remat_dots", dict(base, remat="dots"), ""),
+        # NOTE: TPU-compiler XLA flags are UNREACHABLE in this environment —
+        # the axon tunnel compiles server-side; client XLA_FLAGS knows only
+        # generic/cpu/gpu flags (probed: --xla_tpu_* rejected as unknown) and
+        # LIBTPU_INIT_ARGS is silently ignored (an invalid flag does not crash).
+        # The two flag variants are kept for environments with a local chip.
         ("lhs_flag", dict(base), "--xla_tpu_enable_latency_hiding_scheduler=true"),
         ("aggressive_fusion", dict(base),
          "--xla_tpu_rwb_fusion=true --xla_tpu_enable_dot_strength_reduction=true"),
+        ("no_accum", dict(base, accumulate_steps=1), ""),
         ("attn_pallas_remat_dots", dict(base, attn_impl="pallas", remat="dots"), ""),
     ]
     if args.only:

@@ -28,6 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 LRELU_SLOPE = 0.1  # models/hifigan.py LRELU_SLOPE (kept local: ops must not
 #                    import models; hifigan asserts the two stay equal)
@@ -40,8 +41,8 @@ def _lrelu(x):
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
 
 
-def _mrf_kernel(xl_ref, xc_ref, xr_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-                dilation: int, block_t: int, t_total: int, pack: bool):
+def _mrf_kernel(xl_ref, xc_ref, xr_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                *scratch, dilation: int, block_t: int, t_total: int, pack: bool):
     k = w1_ref.shape[0]
     h1 = dilation * (k - 1) // 2
     h2 = (k - 1) // 2
@@ -63,17 +64,32 @@ def _mrf_kernel(xl_ref, xc_ref, xr_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *
     c = (k - 1) // 2
     cin, cout = w1_ref.shape[1], w1_ref.shape[2]
     if pack:
-        # im2col-in-VMEM tap packing (r4 follow-up): stack the k shifted views
-        # along the LANE axis and contract them in ONE (T, k*C) x (k*C, C)
-        # matmul. The narrow-channel stages (C = 32/64 after the 8x upsamples)
-        # dominate the generator's time, and their per-tap matmuls use only
-        # C of the MXU's 128 contraction lanes — packing raises the contraction
-        # to k*C and cuts 2k matmul issues to 2 per dilation step.
-        p1 = jnp.concatenate(
-            [y[H - h2 + (j - c) * dilation : H + h2 + (j - c) * dilation + block_t]
-             for j in range(k)], axis=-1)  # (block_t + 2h2, k*C)
+        # im2col-in-VMEM tap packing (r4 follow-up): write the k shifted views
+        # into lane-adjacent columns of a VMEM scratch and contract them in ONE
+        # (T, k*C) x (k*C, C) matmul per conv. The narrow-channel stages
+        # (C = 32/64 after the 8x upsamples) dominate the generator's time, and
+        # their per-tap matmuls use only C of the MXU's 128 contraction lanes —
+        # packing raises the contraction to k*C and cuts 2k matmul issues to 2
+        # per dilation step. The scratch STORE is the canonicalization point:
+        # Mosaic tracks roll/slice results as lazy sublane-offset layouts and
+        # its lane-dim concatenate rejects mismatched offsets, but stores
+        # relayout (measured: a concat of rolled taps fails to lower, the
+        # scratch route compiles).
+        p1_scr, p2_scr = scratch
+
+        def tap(src, s, n):
+            # window src[s : s+n] as a STATIC sublane slice (s+n <= len(src) by
+            # the halo arithmetic); pltpu.roll is avoided — it lowers to
+            # tpu.dynamic_rotate, unimplemented for these row counts
+            return src[s : s + n]
+
+        t1 = block_t + 2 * h2
+        for j in range(k):
+            p1_scr[:, j * cin:(j + 1) * cin] = tap(
+                y, H - h2 + (j - c) * dilation, t1)
         acc1 = jax.lax.dot_general(
-            p1, w1_ref[...].reshape(k * cin, cout), (((1,), (0,)), ((), ())),
+            p1_scr[...], w1_ref[...].reshape(k * cin, cout),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
     else:
@@ -93,9 +109,11 @@ def _mrf_kernel(xl_ref, xc_ref, xr_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *
     z = jnp.where((zpos >= 0) & (zpos < t_total), z, 0).astype(xc.dtype)
 
     if pack:
-        p2 = jnp.concatenate([z[j : j + block_t] for j in range(k)], axis=-1)
+        for j in range(k):
+            p2_scr[:, j * cout:(j + 1) * cout] = tap(z, j, block_t)
         acc2 = jax.lax.dot_general(
-            p2, w2_ref[...].reshape(k * cout, cout), (((1,), (0,)), ((), ())),
+            p2_scr[...], w2_ref[...].reshape(k * cout, cout),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
     else:
@@ -123,14 +141,30 @@ def _pick_block_t(t: int, max_block: int = 2048) -> int:
 
 def _pack_mode(k: int, c: int, dtype) -> tuple:
     """(pack?, max_block): pack taps when channels underfill the MXU's 128
-    contraction lanes; bound the packed operand to ~3 MB of VMEM."""
-    if c > 128:
-        return False, 2048
+    contraction lanes, and bound the tile so the WHOLE kernel footprint —
+    double-buffered in/out blocks, weights, f32 accumulators, and (in pack
+    mode) the two im2col staging buffers — stays under ~14 MB of VMEM
+    (measured OOM: 18.3 MB requested at k=7, C=256, f32, block 2048).
+
+    Pack threshold 64 is MEASURED (full generator, bf16, batch 1): packing at
+    C <= 64 gives 6.88 ms vs 7.20 ms with C <= 128 packing and 8.52 ms for
+    XLA — at C = 128 the per-tap matmuls already fill the contraction lanes
+    and the scratch staging only adds traffic."""
+    pack = c <= 64
     bytes_per = jnp.dtype(dtype).itemsize
+
+    def footprint(block):
+        tiles = 4 * 2 * block * c * bytes_per      # 3 in + 1 out, double-buffered
+        weights = 2 * (k * c * c + c) * bytes_per
+        halo_ext = (block + 2 * 30) * c * 4        # lrelu'd ext tile (f32), worst H
+        accs = 2 * (block + k) * c * 4             # acc1/z + acc2 in f32
+        packed = 2 * block * k * c * bytes_per if pack else 0
+        return tiles + weights + halo_ext + accs + packed
+
     max_block = 2048
-    while max_block * k * c * bytes_per > 3 * 2**20 and max_block > 64:
+    while footprint(max_block) > 14 * 2**20 and max_block > 64:
         max_block //= 2
-    return True, max_block
+    return pack, max_block
 
 
 @functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
@@ -146,6 +180,11 @@ def _fused_mrf(x, w1, b1, w2, b2, dilation: int, interpret: bool):
                              t_total=t, pack=pack)
     xspec = lambda f: pl.BlockSpec((1, block_t, c), f)
     wspec = lambda arr: pl.BlockSpec(arr.shape, lambda bi, ti: (0,) * arr.ndim)
+    h2 = (k - 1) // 2
+    scratch = []
+    if pack:  # im2col staging buffers (see _mrf_kernel pack branch)
+        scratch = [pltpu.VMEM((block_t + 2 * h2, k * c), x.dtype),
+                   pltpu.VMEM((block_t, k * c), x.dtype)]
     return pl.pallas_call(
         kern,
         grid=(b, n_tiles),
@@ -157,6 +196,7 @@ def _fused_mrf(x, w1, b1, w2, b2, dilation: int, interpret: bool):
         ],
         out_specs=xspec(lambda bi, ti: (bi, ti, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x, x, x, w1, b1, w2, b2)
 

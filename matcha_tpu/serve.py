@@ -100,10 +100,13 @@ class ServeConfig:
     # "xla"/"pallas" force one implementation for every budget.
     attn_impl: str = "auto"
     attn_pallas_min_budget: int = 1024
-    # HiFi-GAN MRF lowering: "xla", or "pallas" for the fused VMEM dilation-step
-    # kernel (ops/mrf_pallas.py) attacking the generator's HBM-traffic roofline
-    # (docs/DESIGN.md "Vocoder-graph op breakdown")
-    vocoder_resblock_impl: str = "xla"
+    # HiFi-GAN MRF lowering: "auto" selects the fused VMEM dilation-step kernel
+    # (ops/mrf_pallas.py, im2col tap packing) at BATCH 1 where it measures ~13%
+    # faster, and XLA above (the kernel loses at batch >= 8 — measured, see
+    # docs/DESIGN.md "Vocoder-graph op breakdown"); "xla"/"pallas" force one
+    # lowering for every batch. Batch is static per compiled graph, so the
+    # selection costs nothing at dispatch time.
+    vocoder_resblock_impl: str = "auto"
     mel_cfg: MelConfig = field(default_factory=MelConfig)
     # batching front-end: how long the worker waits for co-arriving requests
     # before dispatching a partial batch
@@ -160,6 +163,13 @@ class TTSEngine:
             from matcha_tpu.models.precision import bf16_serving
 
             params = bf16_serving(params)
+            if vocoder_params is not None:
+                # the generator is part of the same fused decode graph — bf16
+                # params keep its convs on the MXU's native dtype (the f32
+                # generator was measured ~2.7x slower at batch 1)
+                vocoder_params = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, vocoder_params)
         self.mesh = mesh
         self._n_data = 1
         if mesh is not None:
@@ -181,11 +191,18 @@ class TTSEngine:
                                  "train.vocoder.load_generator_for_inference)")
             from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
 
+            impl = cfg.vocoder_resblock_impl
             self._gen = Generator(hifigan_cfg or HiFiGANConfig(), weight_norm=False,
-                                  resblock_impl=cfg.vocoder_resblock_impl)
+                                  resblock_impl="xla" if impl == "auto" else impl)
+            # "auto": a second Generator (same parameter tree) with the fused
+            # Pallas MRF blocks, selected per graph at batch 1 (see ServeConfig)
+            self._gen_pallas = (Generator(hifigan_cfg or HiFiGANConfig(),
+                                          weight_norm=False, resblock_impl="pallas")
+                                if impl == "auto" else None)
             self._gen_params = vocoder_params
         else:
             self._gen = None
+            self._gen_pallas = None
 
         # serializes rng state mutation and device dispatch sequences: concurrent
         # synthesise() callers never interleave their encode/decode/vocode calls
@@ -308,9 +325,18 @@ class TTSEngine:
             [packed, jnp.minimum(y_lengths, 32767).astype(tail_dtype)[:, None]],
             axis=1)
 
+    def _gen_for(self, batch: int):
+        """Generator variant by (static, trace-time) batch size: the fused MRF
+        Pallas kernel wins ~13% at batch 1 and loses at batch >= 8 (measured,
+        DESIGN.md); both variants share one parameter tree."""
+        if self._gen_pallas is not None and batch == 1:
+            return self._gen_pallas
+        return self._gen
+
     def _vocode_impl(self, mel, key):
         if self._gen is not None:
-            return jnp.clip(self._gen.apply({"params": self._gen_params}, mel), -1, 1)
+            gen = self._gen_for(mel.shape[0])
+            return jnp.clip(gen.apply({"params": self._gen_params}, mel), -1, 1)
         from matcha_tpu.audio.griffin_lim import mel_to_audio
 
         return mel_to_audio(self.cfg.mel_cfg, jnp.swapaxes(mel, -1, -2), rng=key)
@@ -320,7 +346,8 @@ class TTSEngine:
         its phase init per sample from that sample's key (vmap) instead of one
         batch-shaped draw, so sample i's waveform is batch-composition-independent."""
         if self._gen is not None:
-            return jnp.clip(self._gen.apply({"params": self._gen_params}, mel), -1, 1)
+            gen = self._gen_for(mel.shape[0])
+            return jnp.clip(gen.apply({"params": self._gen_params}, mel), -1, 1)
         from matcha_tpu.audio.griffin_lim import mel_to_audio
 
         return jax.vmap(

@@ -161,7 +161,7 @@ def test_fused_mrf_step_pack_modes_match_xla():
     rng = np.random.default_rng(7)
     for c, k, d, t in ((32, 11, 5, 128), (64, 7, 3, 256), (256, 3, 5, 128)):
         pack, _ = _pack_mode(k, c, jnp.float32)
-        assert pack == (c <= 128)
+        assert pack == (c <= 64)  # measured threshold, see _pack_mode
         x = jnp.asarray(rng.standard_normal((2, t, c)), jnp.float32)
         w1 = jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
         b1 = jnp.asarray(rng.standard_normal((c,)) * 0.05, jnp.float32)

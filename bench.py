@@ -226,19 +226,24 @@ def _full_size_engine(vocoder="hifigan", steps=10, bf16=True,
     return TTSEngine(params, cfg=cfg, vocoder_params=gparams)
 
 
-def bench_serve_latency(n_requests=32, threads=8, steps=10):
+def bench_serve_latency(n_requests=32, threads=8, steps=10, max_batch=8,
+                        eng=None):
     """p50/p99 request latency through the concurrent batching front-end.
 
     Drives the production serve() path — threaded requests, max-wait batching,
-    per-budget fused decode dispatch — at the tuned serving config (bf16,
-    10 ODE steps, HiFi-GAN) and reports the request-latency distribution
+    pipelined per-budget fused decode dispatch — at the tuned serving config
+    (bf16, 10 ODE steps, HiFi-GAN) and reports the request-latency distribution
     (`latency_s`: enqueue -> delivery) plus the honest per-request compute time
     (`wall_s`: shared encode + own sub-group dispatch). Texts share one padded
-    text bucket so warmup covers every compiled shape.
+    text bucket so warmup covers every compiled shape. The default args are the
+    r4-comparable row; main() also reports a THROUGHPUT-tuned row (16-batch
+    groups at 16 threads — the measured optimum of
+    artifacts/serve_load_r5.json).
     """
     import threading as _threading
 
-    eng = _full_size_engine(steps=steps)
+    if eng is None:
+        eng = _full_size_engine(steps=steps, max_batch=max_batch)
     # all in the 64-token text bucket -> one encode/fused-graph family
     texts = [
         "the quick brown fox jumps over the lazy sleeping dog today",
@@ -246,7 +251,9 @@ def bench_serve_latency(n_requests=32, threads=8, steps=10):
         "monotonic alignment search now runs directly on the accelerator",
         "this sentence exists to measure serving latency percentiles now",
     ]
-    eng.warmup(batch_sizes=(1, 2, 4, 8), text=texts[0])
+    warm = sorted({1, 2, 4, 8, max_batch})
+    eng.warmup(batch_sizes=tuple(b for b in warm if b <= max_batch),
+               text=texts[0])
     eng.start_batching(max_wait_ms=5)
     lat_ms, wall_ms, group_sizes = [], [], []
     lock = _threading.Lock()
@@ -258,6 +265,7 @@ def bench_serve_latency(n_requests=32, threads=8, steps=10):
             wall_ms.append(info["wall_s"] * 1e3)
             group_sizes.append(info["group_size"])
 
+    t_start = time.perf_counter()
     pool = []
     for i in range(n_requests):
         t = _threading.Thread(target=worker, args=(i,))
@@ -267,15 +275,17 @@ def bench_serve_latency(n_requests=32, threads=8, steps=10):
             pool.pop(0).join()
     for t in pool:
         t.join()
+    wall_total = time.perf_counter() - t_start
     eng.stop_batching()
     lat = np.asarray(lat_ms)
     return {
         "p50": round(float(np.percentile(lat, 50)), 1),
         "p99": round(float(np.percentile(lat, 99)), 1),
         "wall_p50": round(float(np.median(wall_ms)), 1),
+        "requests_per_s": round(n_requests / wall_total, 1),
         "mean_group_size": round(float(np.mean(group_sizes)), 2),
         "n": n_requests, "threads": threads, "steps": steps,
-        "precision": "bf16", "vocoder": "hifigan",
+        "max_batch": max_batch, "precision": "bf16", "vocoder": "hifigan",
     }
 
 
@@ -542,7 +552,7 @@ def main():
 
     ode_sweep = {}
     single = {}
-    serve_latency = None
+    serve_latency = serve_throughput = None
     if not fast:
         for steps in (2, 4, 10):
             s_xrt, _, _, _ = bench_synthesis(n_timesteps=steps, iters=3, bf16=not no_bf16)
@@ -559,6 +569,10 @@ def main():
                         "x_realtime": round(f_xrt, 1), "wall_s": round(f_wall, 4),
                         "audio_s": round(f_audio, 3)}
                 serve_latency = bench_serve_latency()
+                # throughput-tuned row: 16-batch groups at 16 closed-loop
+                # clients (the measured optimum, artifacts/serve_load_r5.json)
+                serve_throughput = bench_serve_latency(
+                    n_requests=64, threads=16, max_batch=16)
             except Exception as e:
                 print(f"serve latency bench skipped: {e}", file=sys.stderr)
 
@@ -637,6 +651,7 @@ def main():
         "ode_sweep_x_realtime": ode_sweep,
         "single_sentence": single,
         "serve_latency_ms": serve_latency,
+        "serve_throughput_tuned": serve_throughput,
         "mas_pallas_ms": None if mas_pallas_ms is None else round(mas_pallas_ms, 2),
         "mas_cpp_ms": None if mas_cpp_ms is None else round(mas_cpp_ms, 2),
         "mas_pallas_vs_cpp_speedup": None if mas_speedup is None else round(mas_speedup, 2),

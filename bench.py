@@ -552,7 +552,7 @@ def main():
 
     ode_sweep = {}
     single = {}
-    serve_latency = serve_throughput = None
+    serve_latency = serve_throughput = serve_zero_sync = None
     if not fast:
         for steps in (2, 4, 10):
             s_xrt, _, _, _ = bench_synthesis(n_timesteps=steps, iters=3, bf16=not no_bf16)
@@ -573,6 +573,14 @@ def main():
                 # clients (the measured optimum, artifacts/serve_load_r5.json)
                 serve_throughput = bench_serve_latency(
                     n_requests=64, threads=16, max_batch=16)
+                # zero-sync row: a single-budget engine needs no predicted-
+                # length host read — stage A is fully asynchronous (serve.py
+                # _dispatch_group); the latency-optimal serve() deployment
+                serve_zero_sync = bench_serve_latency(
+                    n_requests=32, threads=8,
+                    eng=_full_size_engine(steps=10, mel_budgets=(256,),
+                                          max_batch=8))
+                serve_zero_sync["mel_budgets"] = [256]
             except Exception as e:
                 print(f"serve latency bench skipped: {e}", file=sys.stderr)
 
@@ -652,6 +660,7 @@ def main():
         "single_sentence": single,
         "serve_latency_ms": serve_latency,
         "serve_throughput_tuned": serve_throughput,
+        "serve_zero_sync": serve_zero_sync,
         "mas_pallas_ms": None if mas_pallas_ms is None else round(mas_pallas_ms, 2),
         "mas_cpp_ms": None if mas_cpp_ms is None else round(mas_cpp_ms, 2),
         "mas_pallas_vs_cpp_speedup": None if mas_speedup is None else round(mas_speedup, 2),

@@ -285,13 +285,23 @@ class TTSEngine:
         arr = np.asarray(packed)  # the single device->host sync
         return arr[:, :-1], arr[:, -1].astype(np.int32)
 
+    @staticmethod
+    def _unpack_wav2(packed):
+        """2-tail layout of the seeded decode graphs: (wav, clamped mel
+        lengths, unclamped predicted lengths)."""
+        arr = np.asarray(packed)  # the single device->host sync
+        return (arr[:, :-2], arr[:, -2].astype(np.int32),
+                arr[:, -1].astype(np.int32))
+
     def _decode_vocode_impl(self, params, mu_x, w_ceil, x_mask, y_lengths, z_keys,
                             *, budget):
         """Per-request-seeded decode side in ONE dispatch: noise draw (vmap over
         request keys) + alignment + ODE decode + vocoder. Fusing these (vs the
         round-3 4-stage sequence) removes two ~28 ms host->device round trips per
-        sub-group through a remote-device tunnel. Returns a packed (wav, lengths)
-        array — see _pack_wav."""
+        sub-group through a remote-device tunnel. Returns a packed array with TWO
+        tail elements per row — [wav..., clamped mel length, UNCLAMPED predicted
+        length] — so single-budget engines can flag truncation without any
+        stage-A host sync (see _dispatch_group)."""
         z = self._draw_z_impl(z_keys, budget=budget)
         gl_keys = jax.vmap(jax.random.fold_in)(
             z_keys, jnp.ones(z_keys.shape[0], jnp.uint32))
@@ -299,7 +309,11 @@ class TTSEngine:
             params, mu_x, w_ceil, x_mask, y_lengths, jax.random.PRNGKey(0),
             budget=budget, z=z,
         )
-        return self._pack_wav(self._vocode_seeded_impl(mel, gl_keys), mel_lengths)
+        packed = self._pack_wav(self._vocode_seeded_impl(mel, gl_keys), mel_lengths)
+        tail_dtype = jnp.int16 if self.cfg.output_dtype == "int16" else jnp.float32
+        return jnp.concatenate(
+            [packed, jnp.minimum(y_lengths, 32767).astype(tail_dtype)[:, None]],
+            axis=1)
 
     def _decode_vocode_batch_impl(self, params, mu_x, w_ceil, x_mask, y_lengths,
                                   key, *, budget):
@@ -459,11 +473,12 @@ class TTSEngine:
                 packed = self._decode_vocode(
                     self.params, mu_x, w_ceil, x_mask, y_lengths, z_keys,
                     budget=budget)
+                wav, lengths, _ = self._unpack_wav2(packed)
             else:
                 packed = self._decode_vocode_batch(
                     self.params, mu_x, w_ceil, x_mask, y_lengths, key,
                     budget=budget)
-            wav, lengths = self._unpack_wav(packed)
+                wav, lengths = self._unpack_wav(packed)
             wall = time.perf_counter() - t0
 
         hop, sr = self.cfg.mel_cfg.hop_size, self.cfg.mel_cfg.sample_rate
@@ -654,12 +669,23 @@ class TTSEngine:
         with self._lock:
             x, xl = self._tokenize([r.text for r in reqs], pad_pow2=True)
             mu_x, w_ceil, x_mask, y_lengths = self._encode(self.params, x, xl)
-            y_np = np.asarray(y_lengths)[: len(reqs)]  # the one stage-A sync
+            if len(self.cfg.mel_budgets) == 1:
+                # ZERO-SYNC stage A: one configured budget means no host read
+                # of the predicted lengths is needed to pick it — the dispatch
+                # stage becomes fully asynchronous (the ~25 ms length-read RPC
+                # disappears from the group's serial chain); truncation is
+                # flagged in stage B from the packed predicted-length tail.
+                y_np = None
+                budget = next(iter(self.cfg.mel_budgets))
+                by_budget = {budget: list(range(len(reqs)))}
+            else:
+                y_np = np.asarray(y_lengths)[: len(reqs)]  # the one stage-A sync
+                budgets = [self._pick_budget(fix_len_compatibility(int(f)))
+                           for f in y_np]
+                by_budget = {}
+                for i, b in enumerate(budgets):
+                    by_budget.setdefault(b, []).append(i)
             wall_encode = time.perf_counter() - t0
-            budgets = [self._pick_budget(fix_len_compatibility(int(f))) for f in y_np]
-            by_budget: dict = {}
-            for i, b in enumerate(budgets):
-                by_budget.setdefault(b, []).append(i)
 
             for budget, idx in sorted(by_budget.items()):
                 t_sub = time.perf_counter()
@@ -690,7 +716,8 @@ class TTSEngine:
                     reqs[i]._dispatched = True
                 # blocks only when 2 groups are already in flight (backpressure)
                 out_q.put((packed, reqs, idx, budget,
-                           [int(f) for f in y_np], wall_encode, t_sub))
+                           None if y_np is None else [int(f) for f in y_np],
+                           wall_encode, t_sub))
 
     def _delivery_worker(self, out_q):
         """Pipeline stage B: block on each in-flight sub-group's transfer, slice
@@ -711,15 +738,18 @@ class TTSEngine:
                 return
             packed, reqs, idx, budget, y_pred, wall_encode, t_sub = item
             try:
-                wav, lengths = self._unpack_wav(packed)
+                wav, lengths, predicted = self._unpack_wav2(packed)
                 now = time.perf_counter()
                 wall = wall_encode + (now - t_sub)
                 for j, i in enumerate(idx):
                     ml = int(lengths[j])
-                    trunc = y_pred[i] > budget  # predicted > its own budget
+                    # predicted > its own budget; y_pred is None on the
+                    # zero-sync single-budget path (read the packed tail)
+                    pred_i = int(predicted[j]) if y_pred is None else y_pred[i]
+                    trunc = pred_i > budget
                     if trunc:
                         warnings.warn(
-                            f"request predicts {y_pred[i]} mel frames, beyond "
+                            f"request predicts {pred_i} mel frames, beyond "
                             f"the largest budget ({budget}) — output truncated",
                             stacklevel=2)
                     reqs[i].wav = wav[j, : min(ml * hop, wav.shape[1])]

@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--int16", action="store_true",
                     help="device-side PCM16 waveforms (4x less device->host "
                          "traffic; what the output wav file stores anyway)")
+    ap.add_argument("--mel-budgets", type=int, nargs="+", default=None,
+                    help="static mel-frame budgets (default 128 256 512 1024). "
+                         "A SINGLE budget enables the zero-sync dispatch "
+                         "pipeline: no predicted-length host read per group — "
+                         "the latency-optimal concurrent-serving deployment "
+                         "(measured p50 70.8 ms vs 101 ms at 8 threads)")
     args = ap.parse_args()
 
     from matcha_tpu.cli.generate import load_params
@@ -68,7 +74,9 @@ def main():
         params,
         cfg=ServeConfig(n_timesteps=args.steps, bf16=args.bf16, vocoder=args.vocoder,
                         max_batch=max(len(args.texts), 16),
-                        output_dtype="int16" if args.int16 else "float32"),
+                        output_dtype="int16" if args.int16 else "float32",
+                        **({"mel_budgets": tuple(args.mel_budgets)}
+                           if args.mel_budgets else {})),
         vocoder_params=vocoder_params,
     )
     if args.low_latency:

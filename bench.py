@@ -227,7 +227,7 @@ def _full_size_engine(vocoder="hifigan", steps=10, bf16=True,
 
 
 def bench_serve_latency(n_requests=32, threads=8, steps=10, max_batch=8,
-                        eng=None):
+                        eng=None, closed_loop=False):
     """p50/p99 request latency through the concurrent batching front-end.
 
     Drives the production serve() path — threaded requests, max-wait batching,
@@ -236,14 +236,16 @@ def bench_serve_latency(n_requests=32, threads=8, steps=10, max_batch=8,
     (`latency_s`: enqueue -> delivery) plus the honest per-request compute time
     (`wall_s`: shared encode + own sub-group dispatch). Texts share one padded
     text bucket so warmup covers every compiled shape. The default args are the
-    r4-comparable row; main() also reports a THROUGHPUT-tuned row (16-batch
-    groups at 16 threads — the measured optimum of
-    artifacts/serve_load_r5.json).
+    r4-comparable row; main() also reports a THROUGHPUT-tuned row (zero-sync
+    single-budget engine, 16-batch groups, 32 closed-loop clients — the
+    measured knee of artifacts/serve_load_r5.json, ~265-300 req/s sustained).
     """
     import threading as _threading
 
     if eng is None:
         eng = _full_size_engine(steps=steps, max_batch=max_batch)
+    else:
+        max_batch = eng.cfg.max_batch  # warmup + report the engine's own value
     # all in the 64-token text bucket -> one encode/fused-graph family
     texts = [
         "the quick brown fox jumps over the lazy sleeping dog today",
@@ -266,15 +268,36 @@ def bench_serve_latency(n_requests=32, threads=8, steps=10, max_batch=8,
             group_sizes.append(info["group_size"])
 
     t_start = time.perf_counter()
-    pool = []
-    for i in range(n_requests):
-        t = _threading.Thread(target=worker, args=(i,))
-        t.start()
-        pool.append(t)
-        if len(pool) >= threads:
-            pool.pop(0).join()
-    for t in pool:
-        t.join()
+    if closed_loop:
+        # persistent closed-loop clients (the offered-load model of
+        # tools/serve_load_curve.py): per-request thread spawn on a 2-core host
+        # throttles arrival at high concurrency and under-fills groups
+        nxt = {"i": 0}
+
+        def client():
+            while True:
+                with lock:
+                    i = nxt["i"]
+                    if i >= n_requests:
+                        return
+                    nxt["i"] += 1
+                worker(i)
+
+        pool = [_threading.Thread(target=client) for _ in range(threads)]
+        for t in pool:
+            t.start()
+        for t in pool:
+            t.join()
+    else:
+        pool = []
+        for i in range(n_requests):
+            t = _threading.Thread(target=worker, args=(i,))
+            t.start()
+            pool.append(t)
+            if len(pool) >= threads:
+                pool.pop(0).join()
+        for t in pool:
+            t.join()
     wall_total = time.perf_counter() - t_start
     eng.stop_batching()
     lat = np.asarray(lat_ms)
@@ -569,10 +592,17 @@ def main():
                         "x_realtime": round(f_xrt, 1), "wall_s": round(f_wall, 4),
                         "audio_s": round(f_audio, 3)}
                 serve_latency = bench_serve_latency()
-                # throughput-tuned row: 16-batch groups at 16 closed-loop
-                # clients (the measured optimum, artifacts/serve_load_r5.json)
+                # throughput-tuned row: the measured knee of the offered-load
+                # curve (artifacts/serve_load_r5.json) — ZERO-SYNC single-budget
+                # engine, 16-batch groups, 32 closed-loop clients (~265-300
+                # req/s sustained; multi-budget at the same load reaches only
+                # ~139 req/s because the per-group length-read sync binds)
                 serve_throughput = bench_serve_latency(
-                    n_requests=64, threads=16, max_batch=16)
+                    n_requests=256, threads=32, closed_loop=True,
+                    eng=_full_size_engine(steps=10, mel_budgets=(256,),
+                                          max_batch=16))
+                serve_throughput["mel_budgets"] = [256]
+                serve_throughput["zero_sync"] = True
                 # zero-sync row: a single-budget engine needs no predicted-
                 # length host read — stage A is fully asynchronous (serve.py
                 # _dispatch_group); the latency-optimal serve() deployment

@@ -65,28 +65,53 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts/serve_load_r5.json"))
     ap.add_argument("--per-thread", type=int, default=8,
                     help="requests per client thread at each level")
+    ap.add_argument("--threads", type=int, nargs="+", default=[1, 2, 4, 8, 16],
+                    help="closed-loop client counts to sweep")
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--mel-budgets", type=int, nargs="+", default=[256, 512],
+                    help="one value = the zero-sync single-budget engine")
+    ap.add_argument("--append-to", default=None,
+                    help="append rows (tagged with this run's config) to an "
+                         "existing artifact instead of writing a fresh one")
     args = ap.parse_args()
 
     import bench
 
-    eng = bench._full_size_engine(steps=10)
+    eng = bench._full_size_engine(steps=10, max_batch=args.max_batch,
+                                  mel_budgets=tuple(args.mel_budgets))
     texts = [
         "the quick brown fox jumps over the lazy sleeping dog today",
         "flow matching synthesis runs fast on tensor processing units",
         "monotonic alignment search now runs directly on the accelerator",
         "this sentence exists to measure serving latency percentiles now",
     ]
-    eng.warmup(batch_sizes=(1, 2, 4, 8), text=texts[0])
+    warm = sorted({1, 2, 4, args.max_batch} | {b for b in (8, 16) if b < args.max_batch})
+    eng.warmup(batch_sizes=tuple(warm), text=texts[0])
 
     # solo reference: the unloaded single-request path through the same worker
     eng.start_batching(max_wait_ms=5)
     rows = []
-    for threads in (1, 2, 4, 8, 16):
+    zero_sync = len(args.mel_budgets) == 1
+    for threads in args.threads:
         n = max(16, args.per_thread * threads)
         row = run_level(eng, texts, threads, n)
+        if args.append_to or args.max_batch != 8:
+            row["max_batch"] = args.max_batch
+            row["mel_budgets"] = list(args.mel_budgets)
+            if zero_sync:
+                row["zero_sync"] = True
         rows.append(row)
         print(json.dumps(row), file=sys.stderr)
     eng.stop_batching()
+
+    if args.append_to:
+        with open(args.append_to) as f:
+            out = json.load(f)
+        out["rows"].extend(rows)
+        with open(args.append_to, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps({"appended_to": args.append_to, "n_new": len(rows)}))
+        return
 
     out = {
         "config": {"steps": 10, "precision": "bf16", "vocoder": "hifigan",

@@ -417,3 +417,30 @@ def test_vocoder_resblock_auto_selection():
     w_xla, i_xla = eng_xla.synthesise(["hello there"], seeds=[5])
     assert i_auto["mel_lengths"] == i_xla["mel_lengths"]
     np.testing.assert_allclose(w_auto[0], w_xla[0], atol=2e-3, rtol=1e-3)
+
+
+def test_bench_serve_latency_closed_loop_fills_groups():
+    """The bench harness's closed-loop client mode (r5): persistent worker
+    threads must keep the batching queue fed so groups fill to max_batch, and
+    when an engine is passed in, the row must warm up and report the ENGINE's
+    max_batch (not the stale default arg). Guards the measured 129-vs-258 req/s
+    harness artifact: per-request thread spawn on a 2-core host under-drives
+    the queue at high concurrency (see bench.py::bench_serve_latency)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    model = MatchaTTS(TINY)
+    params = init_params(model, jax.random.PRNGKey(0))
+    cfg = ServeConfig(n_timesteps=2, mel_budgets=(32,), max_batch=4,
+                      vocoder="griffin_lim", mel_cfg=MEL8)
+    eng = TTSEngine(params, model_cfg=TINY, cfg=cfg)
+    row = bench.bench_serve_latency(n_requests=12, threads=4, eng=eng,
+                                    closed_loop=True)
+    assert row["n"] == 12 and row["threads"] == 4
+    assert row["max_batch"] == 4  # the engine's value, not the default arg (8)
+    # closed-loop clients keep the queue non-empty -> groups beyond singletons
+    assert row["mean_group_size"] > 1.0
+    assert row["requests_per_s"] > 0 and row["p50"] >= row["wall_p50"] * 0.5

@@ -1,11 +1,16 @@
 """Offered-load -> latency/throughput curve for the serving engine (r4 verdict
-item 2): closed-loop clients at 1/2/4/8/16 threads driving the pipelined
-batching front-end at the tuned serving config (bf16, 10 ODE steps, HiFi-GAN,
-int16 wire). Reports per-thread-count requests/s, p50/p99 request latency,
-p50 own-compute wall, and mean group size — the curve that shows where the
-batching knee is and whether the ~25 ms tunnel RPC floor binds.
+item 2): closed-loop clients (default 1/2/4/8/16 threads, configurable via
+--threads) driving the pipelined batching front-end at the tuned serving
+config (bf16, 10 ODE steps, HiFi-GAN, int16 wire). Reports per-thread-count
+requests/s, p50/p99 request latency, p50 own-compute wall, and mean group
+size — the curve that shows where the batching knee is and whether the ~25 ms
+tunnel RPC floor binds. --max-batch/--mel-budgets select the engine variant
+(one budget = the zero-sync pipeline); --append-to adds tagged rows to an
+existing artifact (used for the r5 knee-extension levels).
 
 Usage: python tools/serve_load_curve.py [--out artifacts/serve_load_r5.json]
+       python tools/serve_load_curve.py --threads 32 48 --max-batch 16 \
+           --mel-budgets 256 --append-to artifacts/serve_load_r5.json
 """
 
 import argparse

@@ -75,6 +75,8 @@ def main():
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--mel-budgets", type=int, nargs="+", default=[256, 512],
                     help="one value = the zero-sync single-budget engine")
+    ap.add_argument("--max-wait-ms", type=float, default=5.0,
+                    help="batching window; longer waits fill bigger groups")
     ap.add_argument("--append-to", default=None,
                     help="append rows (tagged with this run's config) to an "
                          "existing artifact instead of writing a fresh one")
@@ -94,7 +96,7 @@ def main():
     eng.warmup(batch_sizes=tuple(warm), text=texts[0])
 
     # solo reference: the unloaded single-request path through the same worker
-    eng.start_batching(max_wait_ms=5)
+    eng.start_batching(max_wait_ms=args.max_wait_ms)
     rows = []
     zero_sync = len(args.mel_budgets) == 1
     for threads in args.threads:
@@ -103,6 +105,8 @@ def main():
         if args.append_to or args.max_batch != 8:
             row["max_batch"] = args.max_batch
             row["mel_budgets"] = list(args.mel_budgets)
+            if args.max_wait_ms != 5.0:
+                row["max_wait_ms"] = args.max_wait_ms
             if zero_sync:
                 row["zero_sync"] = True
         rows.append(row)
@@ -121,7 +125,8 @@ def main():
     out = {
         "config": {"steps": 10, "precision": "bf16", "vocoder": "hifigan",
                    "wire": "int16", "max_batch": eng.cfg.max_batch,
-                   "max_wait_ms": 5, "mel_budgets": list(eng.cfg.mel_budgets)},
+                   "max_wait_ms": args.max_wait_ms,
+                   "mel_budgets": list(eng.cfg.mel_budgets)},
         "note": "closed-loop clients; latency = enqueue->delivery; wall = the "
                 "request's own compute path (shared encode + its sub-group's "
                 "fused dispatch incl. pipeline wait).",
